@@ -1,0 +1,155 @@
+"""Checkpoint-resumable index build orchestration.
+
+Stages (each guarded by a ``_SUCCESS`` marker; a re-run skips completed
+work — the immutable-build answer to the reference's dirty-flag incremental
+re-index, ``Indexer/Indexer.java:558-560,694-779``):
+
+  1. docs      — dense docID assignment + doc_len + sha2 content hash
+  2. postings  — flat (term, doc_id, tf, positions, doc_len, importance)
+  3. stats     — term df/idf + corpus N/avgdl (single job; the reference's
+                 second IDF pass, Indexer.java:391-548, disappears)
+  4. segments  — compressed block-max segments, built in drange-keyed chunks;
+                 each chunk commits atomically with a lineage/metrics
+                 manifest -> resume granularity is a chunk, not the job
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import (
+    N_TERM_BUCKETS,
+    assign_doc_ids,
+    build_postings,
+    build_term_stats,
+    encode_segments,
+    term_bucket_col,
+)
+from .storage import IndexStore
+
+DEFAULT_DRANGE_SPAN = 1 << 16  # postings per term per range shard bound
+DEFAULT_N_CHUNKS = 4
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    drange_span: int | None = None,
+    n_chunks: int = DEFAULT_N_CHUNKS,
+    n_buckets: int = N_TERM_BUCKETS,
+    resume: bool = True,
+    fail_after_chunk: int | None = None,  # test hook for resume tests
+) -> IndexStore:
+    store = IndexStore(index_dir)
+    t0 = time.time()
+
+    # -- stage 1: docs ---------------------------------------------------
+    if not (resume and store.stage_done("docs")):
+        docs = assign_doc_ids(transcripts)
+        from .build import with_terms
+
+        docs = (
+            with_terms(docs)
+            .withColumn("doc_len", F.size("terms"))
+            .withColumn("content_hash", F.sha2(F.col("text"), 256))
+            .drop("terms")
+        )
+        docs.write.mode("overwrite").parquet(store.docs_path)
+    docs = store.docs(spark)
+
+    n_docs = docs.count()
+    if drange_span is None:
+        # target ~64k docs per range shard locally; on a cluster this is
+        # sized so a shard's postings for one term fit one encode task.
+        drange_span = min(DEFAULT_DRANGE_SPAN, max(1024, n_docs // 64 + 1))
+    # never more chunks than doc ranges (avoids empty chunk partitions)
+    n_dranges = n_docs // drange_span + 1
+    n_chunks = max(1, min(n_chunks, n_dranges))
+
+    # -- stage 2: flat postings ------------------------------------------
+    if not (resume and store.stage_done("postings")):
+        postings = build_postings(docs).withColumn(
+            "tbucket", term_bucket_col(F.col("term"), n_buckets)
+        )
+        (
+            postings.write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(store.postings_path)
+        )
+    postings = store.postings(spark)
+
+    # -- stage 3: stats ----------------------------------------------------
+    if not (resume and store.stage_done("stats/terms")):
+        term_stats = build_term_stats(postings, n_docs).withColumn(
+            "tbucket", term_bucket_col(F.col("term"), n_buckets)
+        )
+        (
+            term_stats.write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(store.term_stats_path)
+        )
+        avgdl = docs.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+        store.write_corpus_stats(
+            {
+                "n_docs": n_docs,
+                "avgdl": float(avgdl),
+                "drange_span": int(drange_span),
+                "n_buckets": n_buckets,
+                "n_chunks": n_chunks,
+                "built_unix": time.time(),
+            }
+        )
+    cstats = store.corpus_stats()
+    avgdl = cstats["avgdl"]
+    drange_span = cstats["drange_span"]
+    n_chunks = cstats["n_chunks"]
+
+    # -- stage 4: compressed segments, chunked by drange -------------------
+    for chunk in range(n_chunks):
+        if resume and store.chunk_done(chunk):
+            continue
+        chunk_postings = postings.filter(
+            (F.col("doc_id") / drange_span).cast("long") % n_chunks == chunk
+        )
+        segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets)
+        chunk_path = f"{store.segments_path}/chunk={chunk}"
+        segs.write.mode("overwrite").parquet(chunk_path)
+        # lineage + metrics from what was actually written (A11 analog)
+        written = spark.read.parquet(chunk_path)
+        m = written.agg(
+            F.count("*").alias("n_segments"),
+            F.sum("df_local").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("drange").alias("n_dranges"),
+            F.sum(F.length("postings")).alias("bytes"),
+            F.min("first_doc_id").alias("min_doc_id"),
+            F.max("last_doc_id").alias("max_doc_id"),
+        ).collect()[0]
+        store.write_manifest(
+            chunk,
+            {
+                "chunk": chunk,
+                "input": "transcripts",
+                "drange_span": drange_span,
+                "n_segments": m["n_segments"],
+                "n_postings": int(m["n_postings"] or 0),
+                "n_terms": m["n_terms"],
+                "n_dranges": m["n_dranges"],
+                "bytes": int(m["bytes"] or 0),
+                "min_doc_id": m["min_doc_id"],
+                "max_doc_id": m["max_doc_id"],
+                "completed_unix": time.time(),
+            },
+        )
+        if fail_after_chunk is not None and chunk == fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {chunk}")
+
+    elapsed = time.time() - t0
+    stats = store.corpus_stats()
+    stats["last_build_secs"] = elapsed
+    store.write_corpus_stats(stats)
+    return store

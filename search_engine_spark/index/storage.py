@@ -1,0 +1,100 @@
+"""Index artifact layout + readers.
+
+On a production cluster these tables are Iceberg (``writeTo(...).append()``,
+``MERGE INTO`` for re-index — SURVEY.md §1.3); the sandbox has no Iceberg
+runtime jar, so the same layout is written as partitioned parquet behind this
+abstraction. Layout under ``index_dir``:
+
+    docs/                 doc registry: doc_id, conv_id, turn_idx, role, text,
+                          tool, ts, doc_len, content_hash
+    postings/             flat postings (term, doc_id, tf, positions, doc_len,
+                          importance, tbucket) partitioned by tbucket — the
+                          DataFrame-path index + positional (phrase) family
+    segments/chunk=N/     compressed block-max segments (codec.py) — the WAND
+                          path; chunked by drange for checkpoint-resume
+    stats/terms/          (term, df, idf, bm25_idf, tbucket) part. by tbucket
+    stats/corpus.json     {n_docs, avgdl, drange_span, n_buckets, n_chunks}
+    manifest/chunk_N.json per-chunk lineage + metrics (A11 analog: counters
+                          the reference keeps as AtomicInteger,
+                          WebCrawler.java:27-29)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexStore:
+    def __init__(self, index_dir: str):
+        self.dir = Path(index_dir)
+
+    # -- paths ---------------------------------------------------------
+    @property
+    def docs_path(self) -> str:
+        return str(self.dir / "docs")
+
+    @property
+    def postings_path(self) -> str:
+        return str(self.dir / "postings")
+
+    @property
+    def segments_path(self) -> str:
+        return str(self.dir / "segments")
+
+    @property
+    def term_stats_path(self) -> str:
+        return str(self.dir / "stats" / "terms")
+
+    @property
+    def corpus_stats_path(self) -> Path:
+        return self.dir / "stats" / "corpus.json"
+
+    @property
+    def manifest_dir(self) -> Path:
+        return self.dir / "manifest"
+
+    # -- stage completion markers ---------------------------------------
+    def stage_done(self, rel: str) -> bool:
+        return (self.dir / rel / "_SUCCESS").exists()
+
+    def chunk_done(self, chunk: int) -> bool:
+        return (
+            self.dir / "segments" / f"chunk={chunk}" / "_SUCCESS"
+        ).exists() and (self.manifest_dir / f"chunk_{chunk}.json").exists()
+
+    # -- readers ---------------------------------------------------------
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.docs_path)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.postings_path)
+
+    def segments(self, spark: SparkSession) -> DataFrame:
+        # chunk=N dirs are discovered as a partition column -> pruning works
+        return spark.read.parquet(self.segments_path)
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.term_stats_path)
+
+    def corpus_stats(self) -> dict:
+        return json.loads(self.corpus_stats_path.read_text())
+
+    def write_corpus_stats(self, stats: dict) -> None:
+        self.corpus_stats_path.parent.mkdir(parents=True, exist_ok=True)
+        self.corpus_stats_path.write_text(json.dumps(stats, indent=2))
+
+    def write_manifest(self, chunk: int, payload: dict) -> None:
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.manifest_dir / f".chunk_{chunk}.json.tmp"
+        tmp.write_text(json.dumps(payload, indent=2))
+        tmp.rename(self.manifest_dir / f"chunk_{chunk}.json")
+
+    def manifests(self) -> list[dict]:
+        out = []
+        if self.manifest_dir.exists():
+            for p in sorted(self.manifest_dir.glob("chunk_*.json")):
+                out.append(json.loads(p.read_text()))
+        return out

@@ -1,0 +1,117 @@
+"""BM25 scoring — pure-DataFrame path (Catalyst built-ins only).
+
+This is the declarative twin of the WAND path: same posting statistics, same
+scores, expressed as filter -> broadcast join -> agg -> TakeOrderedAndProject
+so Catalyst gets full pushdown/pruning. It is the path used for the DuckDB
+oracle checks; the WAND path must be rank-identical to it.
+
+Score (north rule, k1=1.2 b=0.75):
+
+    score(D, Q) = sum_{t in Q} qtf(t) * idf(t) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    idf(t)      = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+Query-term duplicates multiply their term's contribution — this mirrors the
+reference ranker iterating the raw query-term list
+(``Ranker/ParallelRanker.java:86-104``) and standard BM25 query-tf.
+Ties break by doc_id ascending (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import term_bucket_py
+from ..index.codec import BM25_B, BM25_K1
+from ..index.storage import IndexStore
+
+
+def score_expr(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """Column expression: qtf * bm25_idf * impact(tf, doc_len)."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return F.col("qtf") * F.col("bm25_idf") * impact
+
+
+def candidates_for_terms(
+    spark: SparkSession, store: IndexStore, terms: list[str]
+) -> DataFrame | None:
+    """Partition-pruned posting scan for the query terms, joined (broadcast)
+    with the per-term stats — the Spark analog of the reference's per-term
+    index point-lookups (``QueryProcessor.java:533``) + J1 union-merge."""
+    if not terms:
+        return None
+    qtf = Counter(terms)
+    uniq = sorted(qtf)
+    buckets = sorted({term_bucket_py(t) for t in uniq})
+
+    postings = (
+        store.postings(spark)
+        .filter(F.col("tbucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(uniq))
+        .select("term", "doc_id", "tf", "doc_len")
+    )
+    stats = (
+        store.term_stats(spark)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+        .select("term", "df", "idf", "bm25_idf")
+    )
+    qtf_df = spark.createDataFrame(
+        [(t, float(c)) for t, c in qtf.items()], "term string, qtf double"
+    )
+    return postings.join(F.broadcast(stats), "term").join(
+        F.broadcast(qtf_df), "term"
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    k: int | None = 10,
+) -> DataFrame:
+    """Top-k (doc_id, score) for an analyzed term list, DataFrame path.
+    ``k=None`` returns the full scored candidate set (logical-op operand)."""
+    cstats = store.corpus_stats()
+    cand = candidates_for_terms(spark, store, terms)
+    if cand is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = cand.withColumn("term_score", score_expr(cstats["avgdl"]))
+    agg = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+    if k is None:
+        return agg
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def tfidf_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    k: int = 10,
+    popularity: float = 0.5,
+) -> DataFrame:
+    """Reference-parity scoring path: 0.7 * sum(tf_norm * idf) + 0.3 * popularity
+    (``Ranker/ParallelRanker.java:14-15,86-104``; tf = freq/len from
+    ``Indexer.java:334``; idf = ln(N/(1+df)) from ``Indexer.java:384-388``).
+    The popularity prior defaults to the fixture's constant 0.5."""
+    cand = candidates_for_terms(spark, store, terms)
+    if cand is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rel = (
+        F.col("qtf")
+        * (F.col("tf").cast("double") / F.col("doc_len"))
+        * F.col("idf")
+    )
+    return (
+        cand.withColumn("term_score", rel)
+        .groupBy("doc_id")
+        .agg(
+            (0.7 * F.sum("term_score") + 0.3 * F.lit(popularity)).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,47 @@
+"""Query-language surface (SURVEY.md §2.9, ``QueryProcessor.java:49-122``).
+
+Three classes, dispatched exactly like the reference:
+* quoted-binary-logical: ``"A" AND|OR|NOT "B"`` — exactly one binary op,
+  both operands quoted, no nesting (``QueryProcessor.java:100-122``);
+* phrase: leading quote, ``"some words"``; <2 analyzed terms degenerates to
+  a term query (``QueryProcessor.java:124-148``);
+* term (free text): everything else.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_LOGICAL_RE = re.compile(r'^\s*"([^"]*)"\s+(AND|OR|NOT)\s+"([^"]*)"\s*$')
+
+
+@dataclass
+class ParsedQuery:
+    kind: str  # 'term' | 'phrase' | 'logical'
+    raw: str
+    terms: list[str] | None = None      # term / phrase (analyzed)
+    op: str | None = None               # logical
+    left: "ParsedQuery | None" = None   # logical
+    right: "ParsedQuery | None" = None  # logical
+
+
+def parse_query(query: str, stem: bool = True) -> ParsedQuery:
+    from ..analysis.analyzer import analyze_query
+
+    q = (query or "").strip()
+    m = _LOGICAL_RE.match(q)
+    if m:
+        left = ParsedQuery("phrase", m.group(1), terms=analyze_query(m.group(1), stem=stem))
+        right = ParsedQuery("phrase", m.group(3), terms=analyze_query(m.group(3), stem=stem))
+        # <2 terms degenerates to a term query, as in QueryProcessor.java:134-138
+        for side in (left, right):
+            if len(side.terms or []) < 2:
+                side.kind = "term"
+        return ParsedQuery("logical", q, op=m.group(2), left=left, right=right)
+    if q.startswith('"'):
+        inner = q.strip('"')
+        terms = analyze_query(inner, stem=stem)
+        kind = "phrase" if len(terms) >= 2 else "term"
+        return ParsedQuery(kind, q, terms=terms)
+    return ParsedQuery("term", q, terms=analyze_query(q, stem=stem))

@@ -1,0 +1,101 @@
+"""Exact-phrase matching over the positional index (J2 + J3).
+
+The reference intersects posting doc-sets term-by-term
+(``QueryProcessor.java:150-178``) then checks positional adjacency per doc
+(``QueryProcessor.java:226-273``: for each position p of term_1, term_i must
+contain p+i-1). Positions are ordinals over the surviving analyzed stream
+(``Indexer.java:231-247``), so "fast key" matches even when a stopword stood
+between the two words in the raw text — semantics preserved here.
+
+Spark expression: explode positions and equi-join on (doc_id, pos - offset):
+each term i contributes rows keyed by (doc_id, p - i); an exact phrase
+occurrence is a key present for all n terms. This is a pure shuffle-join
+plan — no UDF — so Catalyst can reorder/broadcast as sizes dictate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import term_bucket_py
+from ..index.storage import IndexStore
+
+
+def phrase_matches(
+    spark: SparkSession, store: IndexStore, terms: list[str]
+) -> DataFrame:
+    """Docs containing the exact phrase -> (doc_id, phrase_count, doc_len).
+
+    ``phrase_count`` = number of distinct start positions (the reference's
+    matchCount, ``QueryProcessor.java:259-268``).
+    """
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
+    buckets = sorted({term_bucket_py(t) for t in set(terms)})
+    postings = (
+        store.postings(spark)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .select("term", "doc_id", "doc_len", "positions")
+    )
+    if len(terms) == 1:
+        only = postings.filter(F.col("term") == terms[0])
+        return only.select(
+            "doc_id",
+            F.size("positions").cast("long").alias("phrase_count"),
+            "doc_len",
+        )
+
+    # start-position candidates from term 0; each further term i must have a
+    # position at start + i  (QueryProcessor.java:259-266)
+    parts = []
+    for i, t in enumerate(terms):
+        cols = ["doc_id", "doc_len"] if i == 0 else ["doc_id"]
+        part = (
+            postings.filter(F.col("term") == t)
+            .select(*cols, F.explode("positions").alias("p"))
+            .withColumn("start", F.col("p") - F.lit(i))
+            .drop("p")
+        )
+        parts.append(part)
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, ["doc_id", "start"], "inner")
+    return joined.groupBy("doc_id", "doc_len").agg(
+        F.countDistinct("start").alias("phrase_count")
+    ).select("doc_id", "phrase_count", "doc_len")
+
+
+def phrase_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    k: int | None = 10,
+) -> DataFrame:
+    """BM25-score the phrase as a synthetic term (the reference builds a
+    synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
+    275-355,459-472``): tf = phrase_count, df = |matching docs|."""
+    from ..index.codec import BM25_B, BM25_K1
+
+    matches = phrase_matches(spark, store, terms)
+    cstats = store.corpus_stats()
+    n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
+    matches = matches.persist()
+    df_phrase = matches.count()
+    if df_phrase == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    import math
+
+    idf = math.log(1.0 + (n_docs - df_phrase + 0.5) / (df_phrase + 0.5))
+    tf = F.col("phrase_count").cast("double")
+    dl = F.col("doc_len").cast("double")
+    impact = tf * (BM25_K1 + 1.0) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+    scored = matches.withColumn("score", F.lit(idf) * impact).select(
+        "doc_id", "score"
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

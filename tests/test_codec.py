@@ -1,0 +1,79 @@
+"""Varbyte/delta/block-max codec properties (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.index.codec import (
+    PostingSegment,
+    bm25_impact,
+    decode_postings,
+    encode_postings,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert (varbyte_decode(varbyte_encode(arr), len(vals)) == arr).all()
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_segment_roundtrip(idset, tfbase):
+    ids = np.array(sorted(idset), dtype=np.int64)
+    rng = np.random.default_rng(tfbase)
+    tfs = rng.integers(1, 300, ids.size)
+    dls = rng.integers(1, 3000, ids.size)
+    buf = encode_postings(ids, tfs, dls, avgdl=25.0)
+    d_ids, d_tfs, d_dls = decode_postings(buf)
+    assert (d_ids == ids).all()
+    assert (d_tfs == tfs).all()
+    assert (d_dls == dls).all()
+
+
+def test_docids_must_increase():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([5, 5], dtype=np.int64),
+            np.array([1, 1]),
+            np.array([1, 1]),
+            10.0,
+        )
+
+
+def test_block_directory_and_max_impact():
+    n = 1000
+    ids = np.arange(0, 2 * n, 2, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[777] = 50  # impact spike in block 6
+    dls = np.full(n, 20, dtype=np.int64)
+    buf = encode_postings(ids, tfs, dls, avgdl=20.0, block_size=128)
+    seg = PostingSegment(buf)
+    assert seg.n_blocks == (n + 127) // 128
+    spike_block = 777 // 128
+    expected = bm25_impact(np.array([50]), np.array([20]), 20.0)[0]
+    assert abs(seg.impacts[spike_block] - expected) < 1e-6
+    # other blocks have the tf=1 impact
+    base = bm25_impact(np.array([1]), np.array([20]), 20.0)[0]
+    assert abs(seg.impacts[0] - base) < 1e-6
+    # per-block decode matches slice
+    d_ids, d_tfs, _ = seg.block(spike_block)
+    assert (d_tfs == tfs[spike_block * 128:(spike_block + 1) * 128]).all()
+    assert (d_ids == ids[spike_block * 128:(spike_block + 1) * 128]).all()
+
+
+def test_compression_beats_raw():
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(10**9, 50_000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 5, ids.size)
+    dls = rng.integers(5, 60, ids.size)
+    buf = encode_postings(ids, tfs, dls, 30.0)
+    assert len(buf) < ids.size * 24 * 0.3  # >3x smaller than raw int64x3
