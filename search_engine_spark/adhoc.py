@@ -1,0 +1,195 @@
+"""Ad-hoc (index-free) corpus operators over any (id, text) DataFrame.
+
+These run the same analysis/scoring semantics as the persisted-index engine,
+but as single declarative DataFrame plans — used for the driver's
+DuckDB-oracle correctness checks over ``/root/testdata/sf*/documents.parquet``
+and as building blocks for one-shot pipelines. Every operator here has an
+ANSI-SQL twin in ``__spark_entry__.oracle_sql`` (stemming is excluded in
+oracle-checked variants because DuckDB's Snowball extension cannot load
+offline; Porter parity is covered by tests/test_analyzer.py instead).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .analysis.analyzer import analyze
+from .index.codec import BM25_B, BM25_K1
+
+
+def tokens_udf(stem: bool):
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        return pd.Series([analyze(t, stem=stem) for t in texts])
+
+    return _tok
+
+
+def tokenized(docs: DataFrame, id_col: str = "doc_id", stem: bool = False) -> DataFrame:
+    """(id, term, pos) — pos over the surviving stream (Indexer.java:231-247)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_udf(stem)(F.col("text"))).alias("pos", "term"),
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", stem: bool = False) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_udf(stem)(F.col("text"))).cast("long").alias("doc_len"),
+    )
+
+
+def term_postings(docs: DataFrame, stem: bool = False) -> DataFrame:
+    """(doc_id, term, tf) — A1."""
+    return (
+        tokenized(docs, stem=stem)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_doc_freq(docs: DataFrame, stem: bool = False) -> DataFrame:
+    """(term, df) — A3."""
+    return (
+        term_postings(docs, stem=stem)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def corpus_stats(docs: DataFrame, stem: bool = False) -> DataFrame:
+    """(n_docs, avgdl) — A4 + BM25 avgdl. Docs with zero surviving tokens
+    still count toward n_docs and the length average (they exist in the
+    registry; the reference skips empty docs at ingest, but the `documents`
+    test table has no empty rows so the semantics here are moot and we keep
+    the simpler definition)."""
+    return doc_lengths(docs, stem=stem).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+    )
+
+
+def term_stats(docs: DataFrame, stem: bool = False) -> DataFrame:
+    """(term, df, idf, bm25_idf) — A5 both formulas, rounded for the oracle."""
+    n_docs = docs.count()
+    return (
+        term_doc_freq(docs, stem=stem)
+        .withColumn(
+            "idf", F.round(F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)), 6)
+        )
+        .withColumn(
+            "bm25_idf",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def _scored_candidates(docs: DataFrame, terms: list[str], stem: bool) -> DataFrame:
+    """Shared retrieval: postings for the query terms joined with doc_len,
+    df and query-term multiplicity. Broadcasts the tiny sides."""
+    spark = docs.sparkSession
+    qtf = Counter(terms)
+    uniq = sorted(qtf)
+    n_docs = docs.count()
+    post = term_postings(docs, stem=stem).filter(F.col("term").isin(uniq))
+    dfreq = term_doc_freq(docs, stem=stem).filter(F.col("term").isin(uniq))
+    lens = doc_lengths(docs, stem=stem)
+    qdf = spark.createDataFrame(
+        [(t, float(c)) for t, c in qtf.items()], "term string, qtf double"
+    )
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(lens, "doc_id")
+        .withColumn("n_docs", F.lit(float(n_docs)))
+    )
+
+
+def bm25_topk_adhoc(
+    docs: DataFrame, query: str, k: int = 10, stem: bool = False
+) -> DataFrame:
+    """Index-free BM25 top-k (k1=1.2, b=0.75); ties by doc_id asc."""
+    terms = analyze(query, stem=stem)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = doc_lengths(docs, stem=stem).agg(F.avg("doc_len")).collect()[0][0]
+    cand = _scored_candidates(docs, terms, stem)
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    impact = tf * (BM25_K1 + 1.0) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(float(avgdl)))
+    )
+    return (
+        cand.withColumn("s", F.col("qtf") * idf * impact)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def tfidf_topk_adhoc(
+    docs: DataFrame, query: str, k: int = 10, stem: bool = False,
+    popularity: float = 0.5,
+) -> DataFrame:
+    """Reference-parity ranking: 0.7 * sum(qtf * (tf/len) * ln(N/(1+df)))
+    + 0.3 * popularity (ParallelRanker.java:14-15,86-104; Indexer.java:334,
+    384-388; fixture popularity 0.5)."""
+    terms = analyze(query, stem=stem)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = _scored_candidates(docs, terms, stem)
+    rel = (
+        F.col("qtf")
+        * (F.col("tf").cast("double") / F.col("doc_len"))
+        * F.log(F.col("n_docs") / (F.col("df") + 1.0))
+    )
+    return (
+        cand.withColumn("s", rel)
+        .groupBy("doc_id")
+        .agg(F.round(0.7 * F.sum("s") + 0.3 * F.lit(popularity), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_matches_adhoc(docs: DataFrame, phrase: str, stem: bool = False) -> DataFrame:
+    """(doc_id, phrase_count) — exact positional adjacency (J3)."""
+    terms = analyze(phrase, stem=stem)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, phrase_count long")
+    tok = tokenized(docs, stem=stem)
+    if len(terms) == 1:
+        return (
+            tok.filter(F.col("term") == terms[0])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("phrase_count"))
+        )
+    joined = None
+    for i, t in enumerate(terms):
+        part = tok.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        joined = part if joined is None else joined.join(part, ["doc_id", "start"])
+    return joined.groupBy("doc_id").agg(
+        F.countDistinct("start").alias("phrase_count")
+    )

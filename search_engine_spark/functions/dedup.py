@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all
+designed scale-first:
+
+* exact: one shuffle on the hash (the distributed form of the reference's
+  in-memory hash dedup, ``Crawler/WebCrawler.java:39-41,502-526`` +
+  ``Indexer/Indexer.java:132-136``).
+* MinHash/LSH: signatures via md5 (portable: identical in Spark and DuckDB),
+  banded bucket join -> candidate pairs only; never the O(n^2) cross join.
+* n-gram Jaccard: shingle join restricted to shared-shingle pairs.
+* SimHash: 64-bit vectorized numpy UDF, hamming-distance buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+N_MINHASH = 8
+N_BANDS = 2  # 4 rows per band
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, min_doc_id) for texts occurring more than once."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.sha2(F.col("text"), 256).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_col(n: int = 3):
+    """Token n-gram shingles from lowercase alpha tokens, JVM-side:
+    transform over a token index sequence -> concat_ws of slices."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct token-n-gram shingles per doc."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_shingle_col(n))).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", n_hashes: int = N_MINHASH, n: int = 3
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — minhash over md5(i || shingle). md5 hex strings
+    compare identically everywhere, making the signature portable to the SQL
+    oracle; min over a permutation-family of string hashes is a standard
+    minhash construction."""
+    sh = doc_shingles(docs, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing at least one LSH
+    band. Banded self-join on the band digest — the shuffle key is the band,
+    so cost scales with collisions, not n^2."""
+    sig = minhash_signatures(docs, id_col, n_hashes, n)
+    rows_per_band = n_hashes // n_bands
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("digest"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band", "bd.digest")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle:
+    (doc_a, doc_b, jaccard) with jaccard >= threshold. Shared-shingle join
+    + |A|,|B| counts: inter/(|A|+|B|-inter)."""
+    sh = doc_shingles(docs, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over lowercase alpha tokens,
+    vectorized numpy inside an Arrow-batched UDF. Not SQL-expressible
+    (bit-level majority vote) -> covered by pytest properties instead of the
+    DuckDB oracle."""
+    import hashlib
+
+    def _sim(texts: pd.Series) -> pd.Series:
+        import re
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = re.findall(r"[a-z]+", (t or "").lower())
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += np.where(bits == 1, 1, -1)
+            sh = np.uint64(0)
+            for bpos in range(64):
+                if acc[bpos] > 0:
+                    sh |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+
+    sim_udf = pandas_udf(_sim, "long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sim_udf(F.col("text")).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    4x16-bit band blocking (two candidates within distance<=3 share at least
+    one exact 16-bit band) — bucket join, not cross join."""
+    sig = simhash64(docs, id_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k, JVM-side arithmetic
+  (zip_with + aggregate; no Python in the row path). The scale baseline:
+  a full scan that Catalyst parallelizes per partition, merged by
+  TakeOrderedAndProject.
+* ``ivf_topk`` — the scale path: deterministic IVF with the first
+  ``n_centroids`` vectors as centroids (kmeans init step; deterministic so
+  the oracle can replay it). Vectors are assigned to their nearest centroid
+  at "build" time; a query probes only the ``n_probe`` nearest centroid
+  cells, cutting the scan by ~n_centroids/n_probe.
+* ``lsh_bucket_topk`` — random-hyperplane LSH variant (numpy, seeded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(vec_col, qvec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    emb: DataFrame, qvec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k; ties by id asc."""
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine; centroid-id
+    asc tiebreak). ``centroids`` = [(centroid_id, vector)]."""
+    spark = emb.sparkSession
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(cosine_col(F.col(vec_col), cv), 9).alias("sim"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.array_max(sims)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        (-best["neg_cid"]).cast("int").alias("centroid_id"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: centroids = embeddings of the ``n_centroids``
+    smallest ids (deterministic); probe the n_probe centroid cells nearest
+    to the query; exact cosine within the probed cells."""
+    cent_rows = (
+        emb.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    centroids = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    qv = np.asarray(qvec, dtype=np.float64)
+
+    def cos(u):
+        u = np.asarray(u, dtype=np.float64)
+        return float(u @ qv / (np.linalg.norm(u) * np.linalg.norm(qv)))
+
+    # round to 9dp so probe choice matches the SQL oracle's tie handling
+    probe = sorted(centroids, key=lambda c: (-round(cos(c[1]), 9), c[0]))[:n_probe]
+    probe_ids = [c[0] for c in probe]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bits of dot(v, plane_j); scan the
+    query's bucket only (numpy inside mapInPandas; planes seeded)."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qv = np.asarray(qvec, dtype=np.float64)
+    qsig = int(((planes @ qv) > 0).astype(np.uint8) @ (1 << np.arange(n_planes)))
+    b_planes = emb.sparkSession.sparkContext.broadcast(planes)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sigs = ((M @ b_planes.value.T) > 0).astype(np.uint8) @ (
+                1 << np.arange(n_planes)
+            )
+            mask = sigs == qsig
+            if not mask.any():
+                continue
+            sub = M[mask]
+            cos = sub @ qv / (np.linalg.norm(sub, axis=1) * np.linalg.norm(qv))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy()[mask],
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    return (
+        emb.mapInPandas(score, schema="vec_id long, cosine double")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side (built-in functions; the regexes are the spec, shared verbatim
+with the DuckDB oracle SQL). Semantics chosen to be exactly expressible in
+ANSI SQL so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import STOPWORDS
+
+ALPHA_RE = "[a-zA-Z]+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_alpha_tokens, n_bpe_tokens)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(ALPHA_RE), 0))
+        .cast("long")
+        .alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio, quality) — deterministic heuristic quality score in
+    [0,1]: rewards sentence-like length, moderate punctuation, and a natural
+    stopword rate."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(F.col("text")).cast("double")
+    n_punct = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", "")
+    ).cast("double")
+    stop_arr = F.filter(
+        toks, lambda t: t.isin(*[F.lit(s) for s in sorted(STOPWORDS)])
+    )
+    n_stop = F.size(stop_arr).cast("double")
+    mean_tok = F.when(n_tokens > 0, (F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n_tokens)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    len_score = F.least(n_tokens / 20.0, F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), 1.0 - punct_ratio * 5.0)
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    quality = F.round(
+        0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred) — n-gram-free heuristic: share of tokens that are
+    English stopwords >= 5% -> 'en', else 'unk'. (A real model would be a
+    fastText-style classifier in a pandas UDF; the heuristic keeps the
+    operator oracle-checkable.)"""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in sorted(STOPWORDS)]))
+    ).cast("double")
+    pred = F.when(
+        (n_tokens > 0) & (n_stop / n_tokens >= 0.05), F.lit("en")
+    ).otherwise(F.lit("unk"))
+    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint) — order-insensitive content fingerprint:
+    sha256 over the sorted distinct lowercase alpha tokens. Near-duplicate
+    docs with shuffled word order collide; whitespace/punct changes are
+    ignored (cheap canonical form of the reference's sha256 content hash,
+    Crawler/PageHasher.java:15-23)."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.array_join(toks, " "), 256).alias("fingerprint"),
+    )

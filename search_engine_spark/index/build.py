@@ -65,7 +65,11 @@ def term_bucket_col(col, n_buckets: int = N_TERM_BUCKETS):
 # Dense docID assignment
 # ---------------------------------------------------------------------------
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
     """Dense int64 ``doc_id`` following global (conv_id, turn_idx) order.
 
     Two-phase, cluster-scalable (no global Window): range-repartition on the
@@ -81,7 +85,14 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
         .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
     )
+    # The count pass and the assignment pass MUST see identical range
+    # boundaries and partition layout. persist() pins them; without it AQE
+    # replans the exchange per action (recomputed sampling / coalesced
+    # partitions) and the two passes can disagree -> duplicate docIDs.
+    # On a real cluster this would be a DISK_ONLY persist or a checkpoint.
     ranged = ranged.persist()
+    if cleanup is not None:
+        cleanup.append(ranged)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -130,42 +141,73 @@ def with_terms(docs: DataFrame, stem: bool = True, positions: bool = True) -> Da
     return docs.withColumn("terms", analyze_udf(F.col("text")))
 
 
-def build_postings(docs_with_ids: DataFrame, stem: bool = True) -> DataFrame:
-    """(doc_id, term, pos...) -> grouped postings.
+POSTINGS_SCHEMA = (
+    "doc_id long, term string, tf int, positions binary, "
+    "doc_len int, importance double"
+)
+
+
+def build_postings(docs_analyzed: DataFrame) -> DataFrame:
+    """Analyzed docs (with a ``terms`` column) -> grouped postings.
 
     Returns ``(doc_id, term, tf, positions, doc_len, importance)`` — one row
     per (doc, term), the Spark analog of the reference's per-posting struct
     (``Indexer/Indexer.java:337-342``: frequency, positions, length,
-    importance_score). Catalyst executes A1/A6 as partial+final hash aggs.
+    importance_score).
+
+    The per-doc term aggregation (A1) happens INSIDE the Arrow-batched UDF —
+    it is per-row work (a doc's postings derive only from that doc's token
+    list, exactly the reference's in-memory ``Map<String,WordStats>``,
+    ``Indexer.java:213-258``), so shipping 10M+ exploded token rows through
+    a JVM hash-agg shuffle would be pure waste. The only shuffles left in
+    the build are the intrinsic layout ones (bucket/range repartitions).
+
+    ``positions`` is varbyte-encoded binary (codec.varbyte_encode) rather
+    than array<int>: it caches/shuffles as a flat byte blob instead of
+    millions of boxed JVM ints (decode with ``decode_positions``).
     """
-    analyzed = with_terms(docs_with_ids, stem=stem)
-    exploded = analyzed.select(
-        "doc_id",
-        "role",
-        F.posexplode("terms").alias("pos", "term"),
+    if "terms" not in docs_analyzed.columns:
+        docs_analyzed = with_terms(docs_analyzed)
+
+    from .codec import varbyte_encode
+
+    def agg_stream(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "term": [], "tf": [], "positions": [],
+                "doc_len": [], "importance": [],
+            }
+            for doc_id, role, terms in zip(
+                pdf["doc_id"], pdf["role"], pdf["terms"]
+            ):
+                w = ROLE_WEIGHTS.get(role, 1.0)
+                dl = len(terms)
+                pos_by_term: dict[str, list[int]] = {}
+                for pos, t in enumerate(terms):
+                    pos_by_term.setdefault(t, []).append(pos)
+                for t, positions in pos_by_term.items():
+                    out["doc_id"].append(doc_id)
+                    out["term"].append(t)
+                    out["tf"].append(len(positions))
+                    out["positions"].append(
+                        varbyte_encode(np.asarray(positions, dtype=np.int64))
+                    )
+                    out["doc_len"].append(dl)
+                    out["importance"].append(w * len(positions))
+            yield pd.DataFrame(out)
+
+    return docs_analyzed.select("doc_id", "role", "terms").mapInPandas(
+        agg_stream, schema=POSTINGS_SCHEMA
     )
-    weight = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[x for rw in ROLE_WEIGHTS.items() for x in (F.lit(rw[0]), F.lit(rw[1]))]
-            ),
-            F.col("role"),
-        ),
-        F.lit(1.0),
-    )
-    per_doc_term = (
-        exploded.withColumn("w", weight)
-        .groupBy("doc_id", "term")
-        .agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-            F.sum("w").alias("importance"),
-        )
-    )
-    doc_len = (
-        exploded.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    )
-    return per_doc_term.join(doc_len, "doc_id")
+
+
+def decode_positions(buf: bytes, tf: int):
+    """Decode a varbyte positions blob back to an int list."""
+    from .codec import varbyte_decode
+
+    return varbyte_decode(buf, tf)
 
 
 def build_term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
@@ -203,6 +245,7 @@ def encode_segments(
     avgdl: float,
     drange_span: int,
     n_buckets: int = N_TERM_BUCKETS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Group postings by (term, doc-range) and encode each group into one
     compressed binary segment row. ``drange`` = doc_id // drange_span.
@@ -210,37 +253,76 @@ def encode_segments(
     The (term, drange) grouping is the skew story: head terms split across
     all doc ranges, so the shuffle and the encode task sizes stay bounded by
     drange_span regardless of term df (SURVEY.md §4 "skew handling").
+
+    Execution: repartition by group key + sortWithinPartitions, then ONE
+    streaming mapInPandas pass that slices group boundaries with numpy and
+    carries the split tail group across Arrow batches — avoiding
+    applyInPandas' per-group invocation overhead (the Zipf tail has millions
+    of tiny term groups at scale).
     """
-    with_keys = postings.withColumn(
-        "drange", (F.col("doc_id") / F.lit(drange_span)).cast("long")
+    spark = postings.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    sorted_parts = (
+        postings.withColumn(
+            "drange", (F.col("doc_id") / F.lit(drange_span)).cast("long")
+        )
+        .select("term", "drange", "doc_id", "tf", "doc_len")
+        .repartition(num_partitions, "term", "drange")
+        .sortWithinPartitions("term", "drange", "doc_id")
     )
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["doc_len"].to_numpy(np.int64)
-        buf = encode_postings(ids, tfs, dls, avgdl)
-        imp = tfs * (BM25_K1 + 1.0) / (
-            tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
-        )
-        term = pdf["term"].iloc[0]
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "drange": [int(pdf["drange"].iloc[0])],
-                "tbucket": [term_bucket_py(term, n_buckets)],
-                "df_local": [len(pdf)],
-                "first_doc_id": [int(ids[0])],
-                "last_doc_id": [int(ids[-1])],
-                "max_impact": [float(imp.max())],
-                "postings": [buf],
-            }
-        )
+    def encode_stream(batches):
+        def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            terms = pdf["term"].to_numpy()
+            dranges = pdf["drange"].to_numpy(np.int64)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["doc_len"].to_numpy(np.int64)
+            # group boundaries on the sorted (term, drange) stream
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (dranges[1:] != dranges[:-1])
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(pdf)]))
+            imp_all = tfs * (BM25_K1 + 1.0) / (
+                tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
+            )
+            rows = {k: [] for k in (
+                "term", "drange", "tbucket", "df_local", "first_doc_id",
+                "last_doc_id", "max_impact", "postings",
+            )}
+            for s, e in zip(starts, ends):
+                term = terms[s]
+                rows["term"].append(term)
+                rows["drange"].append(int(dranges[s]))
+                rows["tbucket"].append(term_bucket_py(term, n_buckets))
+                rows["df_local"].append(int(e - s))
+                rows["first_doc_id"].append(int(ids[s]))
+                rows["last_doc_id"].append(int(ids[e - 1]))
+                rows["max_impact"].append(float(imp_all[s:e].max()))
+                rows["postings"].append(
+                    encode_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl)
+                )
+            return pd.DataFrame(rows)
 
-    return with_keys.groupBy("term", "drange").applyInPandas(
-        encode_group, schema=SEGMENT_SCHEMA
-    )
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing group: it may continue in the next batch
+            last_term = pdf["term"].iloc[-1]
+            last_dr = pdf["drange"].iloc[-1]
+            tail = (pdf["term"] == last_term) & (pdf["drange"] == last_dr)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield encode_groups(body)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return sorted_parts.mapInPandas(encode_stream, schema=SEGMENT_SCHEMA)
 
 
 def positional_postings(postings: DataFrame) -> DataFrame:

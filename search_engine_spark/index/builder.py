@@ -43,25 +43,43 @@ def build_index(
     n_buckets: int = N_TERM_BUCKETS,
     resume: bool = True,
     fail_after_chunk: int | None = None,  # test hook for resume tests
+    verbose: bool = False,
 ) -> IndexStore:
     store = IndexStore(index_dir)
     t0 = time.time()
+    _t = [time.time()]
+
+    def tick(label):
+        now = time.time()
+        if verbose:
+            print(f"[build_index] {label}: {now - _t[0]:.1f}s", flush=True)
+        _t[0] = now
+
+    from .build import with_terms
 
     # -- stage 1: docs ---------------------------------------------------
+    # The analyzer output is persisted in memory and reused by stage 2 so
+    # tokenize/stem runs ONCE per document (the reference re-analyzes per
+    # field pass and again for in-title flags, Indexer.java:151-176,310-316).
+    analyzed = None
+    _cleanup: list = []
     if not (resume and store.stage_done("docs")):
-        docs = assign_doc_ids(transcripts)
-        from .build import with_terms
-
+        analyzed = with_terms(assign_doc_ids(transcripts, cleanup=_cleanup)).persist()
         docs = (
-            with_terms(docs)
-            .withColumn("doc_len", F.size("terms"))
+            analyzed.withColumn("doc_len", F.size("terms"))
             .withColumn("content_hash", F.sha2(F.col("text"), 256))
             .drop("terms")
         )
         docs.write.mode("overwrite").parquet(store.docs_path)
+        tick("stage1 docs")
     docs = store.docs(spark)
 
-    n_docs = docs.count()
+    # one job for both corpus statistics (A4 + avgdl)
+    _crow = docs.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, corpus_avgdl = _crow["n"], float(_crow["avgdl"] or 0.0)
+    tick("count")
     if drange_span is None:
         # target ~64k docs per range shard locally; on a cluster this is
         # sized so a shard's postings for one term fit one encode task.
@@ -70,16 +88,45 @@ def build_index(
     n_dranges = n_docs // drange_span + 1
     n_chunks = max(1, min(n_chunks, n_dranges))
 
-    # -- stage 2: flat postings ------------------------------------------
+    # -- stage 2: flat postings + positional family -----------------------
+    # The scored postings (compact: no arrays) take the bucket-layout
+    # shuffle; the positional family (fat array<int> column, phrase-query
+    # only) is written WITHOUT a shuffle straight from the analysis tasks —
+    # Parquet term min/max row-group pruning serves the (rarer) phrase path.
+    # This halves-plus the build's shuffle volume, which is the serial
+    # resource (single disk locally, network fabric on a cluster).
     if not (resume and store.stage_done("postings")):
-        postings = build_postings(docs).withColumn(
+        src = analyzed if analyzed is not None else with_terms(docs)
+        # ONE python agg pass; the varbyte positions blob keeps the cached
+        # rows compact (flat bytes, no boxed JVM int arrays)
+        postings_all = build_postings(src).persist()
+        (
+            postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
+            .sortWithinPartitions("term")  # no shuffle; clusters row groups
+            .write.mode("overwrite")       # so term min/max pruning bites
+            .parquet(store.positions_path)
+        )
+        postings_out = postings_all.drop("positions").withColumn(
             "tbucket", term_bucket_col(F.col("term"), n_buckets)
         )
+        # repartition on the partition column first: each write task then
+        # holds whole buckets -> n_buckets files, not tasks x buckets
         (
-            postings.write.mode("overwrite")
+            postings_out.repartition(n_buckets, "tbucket")
+            .write.mode("overwrite")
             .partitionBy("tbucket")
             .parquet(store.postings_path)
         )
+        postings_all.unpersist()
+        if analyzed is not None:
+            analyzed.unpersist()
+        for df_ in _cleanup:
+            df_.unpersist()
+        _cleanup.clear()
+        tick("stage2 postings")
+    # downstream stages re-read the artifact: Catalyst prunes to the few
+    # columns they need (never the fat `positions` arrays), which beats
+    # caching 10M+ object-heavy rows in the JVM heap
     postings = store.postings(spark)
 
     # -- stage 3: stats ----------------------------------------------------
@@ -88,15 +135,16 @@ def build_index(
             "tbucket", term_bucket_col(F.col("term"), n_buckets)
         )
         (
-            term_stats.write.mode("overwrite")
+            term_stats.repartition(n_buckets, "tbucket")
+            .write.mode("overwrite")
             .partitionBy("tbucket")
             .parquet(store.term_stats_path)
         )
-        avgdl = docs.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+        tick("stage3 term_stats")
         store.write_corpus_stats(
             {
                 "n_docs": n_docs,
-                "avgdl": float(avgdl),
+                "avgdl": corpus_avgdl,
                 "drange_span": int(drange_span),
                 "n_buckets": n_buckets,
                 "n_chunks": n_chunks,
@@ -115,12 +163,13 @@ def build_index(
         chunk_postings = postings.filter(
             (F.col("doc_id") / drange_span).cast("long") % n_chunks == chunk
         )
-        segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets)
+        segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets).persist()
         chunk_path = f"{store.segments_path}/chunk={chunk}"
         segs.write.mode("overwrite").parquet(chunk_path)
-        # lineage + metrics from what was actually written (A11 analog)
-        written = spark.read.parquet(chunk_path)
-        m = written.agg(
+        tick(f"chunk {chunk} encode+write")
+        # lineage + metrics over the cached encoded rows (A11 analog);
+        # written AFTER the chunk's _SUCCESS so chunk_done => both exist
+        m = segs.agg(
             F.count("*").alias("n_segments"),
             F.sum("df_local").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
@@ -145,6 +194,8 @@ def build_index(
                 "completed_unix": time.time(),
             },
         )
+        segs.unpersist()
+        tick(f"chunk {chunk} manifest")
         if fail_after_chunk is not None and chunk == fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {chunk}")
 

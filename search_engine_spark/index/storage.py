@@ -41,6 +41,10 @@ class IndexStore:
         return str(self.dir / "postings")
 
     @property
+    def positions_path(self) -> str:
+        return str(self.dir / "positions")
+
+    @property
     def segments_path(self) -> str:
         return str(self.dir / "segments")
 
@@ -71,6 +75,10 @@ class IndexStore:
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.postings_path)
+
+    def positions(self, spark: SparkSession) -> DataFrame:
+        """Positional family (phrase queries): term, doc_id, positions."""
+        return spark.read.parquet(self.positions_path)
 
     def segments(self, spark: SparkSession) -> DataFrame:
         # chunk=N dirs are discovered as a partition column -> pruning works

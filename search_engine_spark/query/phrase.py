@@ -18,8 +18,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import term_bucket_py
 from ..index.storage import IndexStore
+
+
+def _decode_explode(postings: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, doc_len, positions:binary) -> one row per position
+    (term, doc_id, doc_len, pos), vectorized varbyte decode per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from ..index.codec import varbyte_decode
+
+    def decode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tfs = pdf["tf"].to_numpy()
+            pos = (
+                np.concatenate(
+                    [
+                        varbyte_decode(bytes(b), int(t))
+                        for b, t in zip(pdf["positions"], tfs)
+                    ]
+                )
+                if len(pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), tfs),
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), tfs),
+                    "doc_len": np.repeat(pdf["doc_len"].to_numpy(), tfs),
+                    "pos": pos,
+                }
+            )
+
+    return postings.mapInPandas(
+        decode, schema="term string, doc_id long, doc_len int, pos int"
+    )
 
 
 def phrase_matches(
@@ -32,31 +68,28 @@ def phrase_matches(
     """
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
-    buckets = sorted({term_bucket_py(t) for t in set(terms)})
     postings = (
-        store.postings(spark)
-        .filter(F.col("tbucket").isin(buckets))
+        store.positions(spark)
         .filter(F.col("term").isin(sorted(set(terms))))
-        .select("term", "doc_id", "doc_len", "positions")
+        .select("term", "doc_id", "tf", "doc_len", "positions")
     )
     if len(terms) == 1:
         only = postings.filter(F.col("term") == terms[0])
         return only.select(
             "doc_id",
-            F.size("positions").cast("long").alias("phrase_count"),
+            F.col("tf").cast("long").alias("phrase_count"),
             "doc_len",
         )
 
+    exploded = _decode_explode(postings)
     # start-position candidates from term 0; each further term i must have a
     # position at start + i  (QueryProcessor.java:259-266)
     parts = []
     for i, t in enumerate(terms):
         cols = ["doc_id", "doc_len"] if i == 0 else ["doc_id"]
         part = (
-            postings.filter(F.col("term") == t)
-            .select(*cols, F.explode("positions").alias("p"))
-            .withColumn("start", F.col("p") - F.lit(i))
-            .drop("p")
+            exploded.filter(F.col("term") == t)
+            .select(*cols, (F.col("pos") - F.lit(i)).alias("start"))
         )
         parts.append(part)
     joined = parts[0]

@@ -70,9 +70,16 @@ def test_segments_roundtrip_to_flat_postings(spark, index_store, oracle_index):
 
 
 def test_positions_match_oracle(spark, index_store, oracle_index):
-    p = index_store.postings(spark).select("term", "doc_id", "positions").toPandas()
-    for t, d, pos in zip(p["term"], p["doc_id"], p["positions"]):
-        assert list(pos) == oracle_index.positions[t][int(d)]
+    from search_engine_spark.index.codec import varbyte_decode
+
+    p = (
+        index_store.positions(spark)
+        .select("term", "doc_id", "tf", "positions")
+        .toPandas()
+    )
+    assert len(p) == sum(len(d) for d in oracle_index.positions.values())
+    for t, d, tf, buf in zip(p["term"], p["doc_id"], p["tf"], p["positions"]):
+        assert list(varbyte_decode(bytes(buf), int(tf))) == oracle_index.positions[t][int(d)]
 
 
 def test_manifests_written(index_store, oracle_index):

@@ -1,0 +1,61 @@
+"""One benchmark measurement in an isolated JVM: build the index at a given
+parallelism level, after a warmup build (JIT + page cache), at two corpus
+sizes (calibration + full) so the caller can compute marginal throughput.
+
+Invoked by bench.py as a subprocess; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def timed_build(spark, corpus_path: str, ix_dir: str, repeats: int = 2) -> float:
+    """min-of-N: the sandbox VM has heavy run-to-run noise (shared host);
+    min over identical deterministic runs estimates the true cost."""
+    from search_engine_spark.index.builder import build_index
+
+    df = spark.read.parquet(corpus_path)
+    best = float("inf")
+    for _ in range(repeats):
+        shutil.rmtree(ix_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, df, ix_dir, n_chunks=1)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus-full", required=True)
+    ap.add_argument("--corpus-cal", required=True)
+    ap.add_argument("--corpus-warm", required=True)
+    ap.add_argument("--ix-dir", required=True)
+    ap.add_argument("--full-repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench-{args.cores}", cores=args.cores,
+        shuffle_partitions=max(args.cores, 8),
+    )
+    # warmup: JIT-compile the whole pipeline before any timed run
+    timed_build(spark, args.corpus_warm, args.ix_dir + "_warm", repeats=1)
+    t_cal = timed_build(spark, args.corpus_cal, args.ix_dir + "_cal", repeats=1)
+    t_full = timed_build(spark, args.corpus_full, args.ix_dir, repeats=args.full_repeats)
+    spark.stop()
+    print(json.dumps({"cores": args.cores, "t_cal": t_cal, "t_full": t_full}))
+
+
+if __name__ == "__main__":
+    main()
