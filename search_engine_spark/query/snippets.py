@@ -22,35 +22,73 @@ from pyspark.sql.functions import pandas_udf
 WINDOW = 150  # chars each side, Indexer.java:266
 
 
-def make_snippet(text: str, query_tokens: list[str]) -> str:
-    if not text:
-        return ""
+MAX_WINDOWS = 3  # Indexer.java:380 keeps the best 3 snippets
+
+
+def _window(text: str, hit: int) -> tuple[int, int]:
+    """±WINDOW chars around ``hit``, snapped to sentence bounds
+    (Indexer.java:272-287)."""
+    start = max(0, hit - WINDOW)
+    end = min(len(text), hit + WINDOW)
+    dot = text.rfind(". ", 0, start)
+    if dot >= 0 and start - dot < WINDOW:
+        start = dot + 2
+    dot = text.find(". ", end)
+    if dot >= 0 and dot - end < WINDOW:
+        end = dot + 1
+    return start, end
+
+
+def extract_windows(text: str, query_tokens: list[str]) -> list[str]:
+    """Candidate context windows: one per query token's first occurrence,
+    deduplicated/merged when they overlap, ranked complete-sentence-first
+    then longer (the reference's snippet sort, Indexer.java:374-379), best
+    MAX_WINDOWS kept."""
     low = text.lower()
-    hit = -1
+    spans: list[tuple[int, int]] = []
     for tok in query_tokens:
         p = low.find(tok.lower())
-        if p >= 0 and (hit < 0 or p < hit):
-            hit = p
-    if hit < 0:
+        if p >= 0:
+            spans.append(_window(text, p))
+    if not spans:
+        return []
+    # merge overlapping spans
+    spans.sort()
+    merged = [spans[0]]
+    for s, e in spans[1:]:
+        if s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(e, merged[-1][1]))
+        else:
+            merged.append((s, e))
+    windows = [text[s:e].strip() for s, e in merged]
+    # complete sentences first, then longer (Indexer.java:374-379)
+    windows.sort(key=lambda w: (0 if "." in w else 1, -len(w)))
+    return windows[:MAX_WINDOWS]
+
+
+def highlight(snippet: str, query_tokens: list[str]) -> str:
+    """Case-preserving <strong> wrap (QueryProcessor.java:667-689)."""
+    if not query_tokens or not snippet:
+        return snippet
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in query_tokens) + r")\b",
+        re.IGNORECASE,
+    )
+    return pat.sub(lambda m: f"<strong>{m.group(1)}</strong>", snippet)
+
+
+def make_snippet(text: str, query_tokens: list[str]) -> str:
+    """Best-snippet assembly for one doc: up to MAX_WINDOWS merged context
+    windows (joined ' ... ' like the reference's multi-term snippet join,
+    QueryProcessor.java:690-707), highlighted."""
+    if not text:
+        return ""
+    windows = extract_windows(text, query_tokens)
+    if not windows:
         snippet = text[: 2 * WINDOW]
     else:
-        start = max(0, hit - WINDOW)
-        end = min(len(text), hit + WINDOW)
-        # snap to sentence bounds (Indexer.java:272-287)
-        dot = text.rfind(". ", 0, start)
-        if dot >= 0 and start - dot < WINDOW:
-            start = dot + 2
-        dot = text.find(". ", end)
-        if dot >= 0 and dot - end < WINDOW:
-            end = dot + 1
-        snippet = text[start:end]
-    if query_tokens:
-        pat = re.compile(
-            r"\b(" + "|".join(re.escape(t) for t in query_tokens) + r")\b",
-            re.IGNORECASE,
-        )
-        snippet = pat.sub(lambda m: f"<strong>{m.group(1)}</strong>", snippet)
-    return snippet.strip()
+        snippet = " ... ".join(windows)
+    return highlight(snippet, query_tokens).strip()
 
 
 def add_snippets(topk_with_text: DataFrame, query_tokens: list[str]) -> DataFrame:

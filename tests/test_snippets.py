@@ -1,0 +1,56 @@
+"""Snippet extraction/highlight semantics (T5/T8/O3/O4)."""
+
+from search_engine_spark.query.snippets import (
+    WINDOW,
+    extract_windows,
+    highlight,
+    make_snippet,
+)
+
+
+def test_highlight_preserves_case():
+    out = highlight("Spark and SPARK and spark", ["spark"])
+    assert out == "<strong>Spark</strong> and <strong>SPARK</strong> and <strong>spark</strong>"
+
+
+def test_highlight_word_boundaries_only():
+    assert highlight("sparkle spark", ["spark"]) == "sparkle <strong>spark</strong>"
+
+
+def test_single_hit_window_snaps_to_sentence():
+    text = "Lead sentence here. " + "x" * 200 + ". The spark term appears. Tail follows here. " + "y" * 200
+    snip = make_snippet(text, ["spark"])
+    assert "<strong>spark</strong>" in snip
+    assert len(snip) <= 2 * (2 * WINDOW) + 50
+
+
+def test_multi_term_windows_joined():
+    text = ("alpha starts the text. " + "f" * 400 + ". "
+            "beta lives in the middle somewhere. " + "g" * 400 + ". end.")
+    snip = make_snippet(text, ["alpha", "beta"])
+    assert "<strong>alpha</strong>" in snip and "<strong>beta</strong>" in snip
+    assert " ... " in snip  # two disjoint windows joined
+
+
+def test_overlapping_windows_merge():
+    text = "alpha beta adjacent terms in one short sentence."
+    snip = make_snippet(text, ["alpha", "beta"])
+    assert snip.count(" ... ") == 0
+
+
+def test_complete_sentence_preferred():
+    ws = ["fragment without period that is long" * 2, "Short. Complete."]
+    text = "Short. Complete. " + "z" * 500 + " fragmentmarker without any period at all"
+    wins = extract_windows(text, ["Short", "fragmentmarker"])
+    assert wins and "." in wins[0]  # sentence-bearing window ranked first
+
+
+def test_no_hit_fallback_prefix():
+    text = "a" * 1000
+    snip = make_snippet(text, ["missing"])
+    assert snip == "a" * (2 * WINDOW)
+
+
+def test_empty_inputs():
+    assert make_snippet("", ["x"]) == ""
+    assert make_snippet("text", []) == "text"
