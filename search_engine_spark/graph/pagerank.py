@@ -18,6 +18,8 @@ DAMPING = 0.85          # PageRank.java:18
 EPSILON = 1e-6          # PageRank.java:19
 MAX_ITERATIONS = 100    # PageRank.java:20
 
+DEFAULT_POPULARITY = 0.5  # fixture default, query_results.json popularity
+
 
 def pagerank(
     edges: DataFrame,
@@ -93,3 +95,51 @@ def pagerank(
             if delta is not None and delta < epsilon:
                 break
     return ranks
+
+
+def conversation_graph(docs: DataFrame) -> DataFrame:
+    """Derive a conversation-reference graph from the transcripts corpus
+    (SURVEY.md §2.10 "transcripts analog"): within a conversation each turn
+    endorses the previous turn (reply structure), and tool turns endorse the
+    assistant turn that invoked them. Deterministic, derived purely from
+    the corpus — the analog of pages.outgoingLinks (PageRank.java:97-136)."""
+    a = docs.select("doc_id", "conv_id", "turn_idx", "role")
+    b = docs.select(
+        F.col("doc_id").alias("prev_doc_id"),
+        F.col("conv_id").alias("p_conv"),
+        F.col("turn_idx").alias("p_idx"),
+    )
+    return (
+        a.join(
+            b,
+            (a.conv_id == b.p_conv) & (a.turn_idx == b.p_idx + 1),
+        )
+        .select(F.col("doc_id").alias("src"), F.col("prev_doc_id").alias("dst"))
+    )
+
+
+def write_popularity(spark, store, ranks: DataFrame) -> None:
+    """G2 rank->popularity writeback (PageRank.java:138-171): join ranks
+    onto the doc registry and rewrite it with a ``popularity`` column
+    (min-max scaled to [0,1] like a prior; docs outside the graph get the
+    fixture default 0.5)."""
+    docs = store.docs(spark)
+    stats = ranks.agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi")
+    ).collect()[0]
+    lo, hi = float(stats["lo"] or 0.0), float(stats["hi"] or 1.0)
+    span = (hi - lo) or 1.0
+    scaled = ranks.select(
+        F.col("node").alias("doc_id"),
+        ((F.col("rank") - F.lit(lo)) / F.lit(span)).alias("popularity"),
+    )
+    out = docs.drop("popularity").join(scaled, "doc_id", "left").withColumn(
+        "popularity", F.coalesce(F.col("popularity"), F.lit(DEFAULT_POPULARITY))
+    )
+    # rewrite via a temp dir: the source of the plan is the same parquet dir
+    tmp = store.docs_path + "_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(store.docs_path)
+    shutil.move(tmp, store.docs_path)

@@ -41,18 +41,42 @@ def search(
     k: int = 10,
     engine: str = "df",
     with_metadata: bool = True,
+    blend_popularity: bool = False,
 ) -> DataFrame:
     """Returns top-k rows: (rank, doc_id, score [, conv_id, turn_idx, role,
     ts, snippet]) — the shape of the reference's RankedDocument
-    (``Ranker/RankedDocument.java:3-54``)."""
+    (``Ranker/RankedDocument.java:3-54``).
+
+    ``blend_popularity`` applies the reference's A10 blend
+    (``ParallelRanker.java:14-15``): score = 0.7*relevance + 0.3*popularity,
+    reading the ``popularity`` column written by
+    ``graph.pagerank.write_popularity`` (default 0.5 when absent). The blend
+    re-ranks an over-fetched candidate pool (4k) — popularity is a bounded
+    prior, so a doc outside the relevance top-4k cannot enter the top-k
+    unless relevance scores are pathologically flat."""
     pq = parse_query(query)
+    fetch_k = k if not blend_popularity else max(4 * k, 50)
     if pq.kind == "logical":
         left = _score_side(spark, store, pq.left, engine, k=None)
         right = _score_side(spark, store, pq.right, engine, k=None)
-        topk = combine(left, right, pq.op, k=k)
+        topk = combine(left, right, pq.op, k=fetch_k)
     else:
-        topk = _score_side(spark, store, pq, engine, k=k)
+        topk = _score_side(spark, store, pq, engine, k=fetch_k)
 
+    if blend_popularity:
+        docs_all = store.docs(spark)
+        pop = (
+            docs_all.select("doc_id", F.col("popularity"))
+            if "popularity" in docs_all.columns
+            else docs_all.select("doc_id", F.lit(0.5).alias("popularity"))
+        )
+        topk = (
+            pop.join(F.broadcast(topk), "doc_id", "inner")
+            .select(
+                "doc_id",
+                (0.7 * F.col("score") + 0.3 * F.col("popularity")).alias("score"),
+            )
+        )
     topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not with_metadata:
         return topk
@@ -76,3 +100,17 @@ def search(
     return w_rank.select(
         "rank", "doc_id", "score", "conv_id", "turn_idx", "role", "ts", "snippet"
     )
+
+
+def search_json(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int = 10,
+    engine: str = "df",
+) -> list[str]:
+    """S11 JSON result sink (controller/SearchController.java:21-34): the
+    enriched top-k serialized as JSON strings (one per ranked document)."""
+    return [r["json"] for r in
+            search(spark, store, query, k=k, engine=engine)
+            .selectExpr("to_json(struct(*)) AS json").collect()]

@@ -141,3 +141,51 @@ def test_pagerank_converges_and_sums_to_one(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[0] == max(ranks.values())
     assert ranks[1] > ranks[2]  # 1 gets 0's endorsement
+
+
+def test_conversation_graph_and_popularity_blend(spark, transcripts_df, tmp_path):
+    from search_engine_spark.corpus import HEAD_TERMS
+    from search_engine_spark.graph.pagerank import (
+        conversation_graph,
+        pagerank,
+        write_popularity,
+    )
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.index.storage import IndexStore
+    from search_engine_spark.query.pipeline import search
+
+    d = str(tmp_path / "ix")
+    store = build_index(spark, transcripts_df, d, drange_span=64, n_chunks=1)
+
+    edges = conversation_graph(store.docs(spark))
+    assert edges.filter("src <= dst").count() == edges.filter("src < dst").count()
+    ranks = pagerank(edges, epsilon=1e-6, max_iter=20)
+    write_popularity(spark, store, ranks)
+
+    docs = store.docs(spark)
+    assert "popularity" in docs.columns
+    prow = docs.agg({"popularity": "min"}).collect()[0][0]
+    assert 0.0 <= prow <= 1.0
+    # earlier turns accumulate endorsements -> turn 0 outranks the last turn
+    pops = {
+        (r["conv_id"], r["turn_idx"]): r["popularity"]
+        for r in docs.select("conv_id", "turn_idx", "popularity").collect()
+    }
+    convs = {c for c, _ in pops}
+    some = sorted(convs)[0]
+    last = max(t for c, t in pops if c == some)
+    assert pops[(some, 0)] > pops[(some, last)]
+
+    blended = search(
+        spark, store, HEAD_TERMS[0], k=5, with_metadata=False,
+        blend_popularity=True,
+    ).collect()
+    plain = search(spark, store, HEAD_TERMS[0], k=5, with_metadata=False).collect()
+    assert len(blended) == len(plain) == 5
+    # blend = 0.7*rel + 0.3*pop: verify one row's arithmetic
+    rel = {r["doc_id"]: r["score"] for r in search(
+        spark, store, HEAD_TERMS[0], k=50, with_metadata=False).collect()}
+    d0 = blended[0]["doc_id"]
+    pop0 = docs.filter(f"doc_id = {d0}").collect()[0]["popularity"]
+    import pytest as _pt
+    assert blended[0]["score"] == _pt.approx(0.7 * rel[d0] + 0.3 * pop0, rel=1e-9)

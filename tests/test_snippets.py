@@ -54,3 +54,16 @@ def test_no_hit_fallback_prefix():
 def test_empty_inputs():
     assert make_snippet("", ["x"]) == ""
     assert make_snippet("text", []) == "text"
+
+
+def test_search_json_sink(spark, index_store):
+    import json
+
+    from search_engine_spark.corpus import HEAD_TERMS
+    from search_engine_spark.query.pipeline import search_json
+
+    rows = search_json(spark, index_store, HEAD_TERMS[0], k=3)
+    assert 0 < len(rows) <= 3
+    parsed = [json.loads(r) for r in rows]
+    assert parsed[0]["rank"] == 1
+    assert {"doc_id", "score", "conv_id", "snippet"} <= set(parsed[0])
