@@ -98,17 +98,8 @@ def main() -> None:
     spark.stop()
     n_full = sizes[corpus_full]
 
-    # two interleaved measurement rounds per level (fresh JVM each), min per
-    # level: host-contention noise on this VM comes in long windows, so
-    # alternating hi/lo decorrelates the comparison from any single window
-    t_hi, t_lo = float("inf"), float("inf")
-    for _ in range(2):
-        hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm, "/tmp/bench_ix_hi")
-        lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm, "/tmp/bench_ix_lo")
-        t_hi = min(t_hi, hi["t_full"])
-        t_lo = min(t_lo, lo["t_full"])
-    hi = {"t_full": t_hi}
-    lo = {"t_full": t_lo}
+    hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm, "/tmp/bench_ix_hi")
+    lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm, "/tmp/bench_ix_lo")
 
     thr_hi, thr_lo = n_full / hi["t_full"], n_full / lo["t_full"]
     ratio = HI_CPUS / LO_CPUS

@@ -1,0 +1,168 @@
+"""Delete / re-index support (S10 analog).
+
+The reference mutates in place: ``$pull`` postings by doc_id, recount df,
+delete empty terms (``Indexer/Indexer.java:694-779``) — a read-modify-write
+storm that cannot work on an immutable 10^12-turn index. The scalable
+equivalent (same pattern as Iceberg delete files / tombstones):
+
+* ``mark_deleted`` — O(|deleted|) metadata append: doc_ids land in a
+  tombstone table. Query paths anti-filter tombstones at serve time; global
+  stats (df, idf, avgdl, N) intentionally stay stale until compaction —
+  scores over the surviving docs use the old statistics, exactly like every
+  production engine that separates logical delete from segment rewrite.
+* ``compact`` — physical rebuild: rewrites docs/postings/positions minus
+  tombstones, recomputes stats, re-encodes all segment chunks, clears
+  tombstones. After compaction the index is byte-equivalent to a fresh
+  build over the surviving corpus (tested), i.e. the reference's recount
+  semantics (``Indexer.java:744-764``) are restored.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import encode_segments, build_term_stats, term_bucket_col
+from .storage import IndexStore
+
+
+def tombstones_path(store: IndexStore) -> str:
+    return str(store.dir / "tombstones")
+
+
+def tombstones(spark: SparkSession, store: IndexStore) -> DataFrame | None:
+    p = Path(tombstones_path(store))
+    if not (p / "_SUCCESS").exists() and not any(p.glob("*.parquet")):
+        return None
+    return spark.read.parquet(str(p)).select("doc_id").distinct()
+
+
+def mark_deleted(
+    spark: SparkSession, store: IndexStore, doc_ids: list[int] | DataFrame
+) -> int:
+    """Append doc_ids to the tombstone table. Accepts a list or a
+    single-column DataFrame (e.g. the result of a dedup pass)."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    df.write.mode("append").parquet(tombstones_path(store))
+    return df.count()
+
+
+def live_filter(spark: SparkSession, store: IndexStore, df: DataFrame,
+                col: str = "doc_id") -> DataFrame:
+    """Anti-join a DataFrame against the tombstones (no-op when none)."""
+    tomb = tombstones(spark, store)
+    if tomb is None:
+        return df
+    return df.join(
+        F.broadcast(tomb.withColumnRenamed("doc_id", col)), col, "left_anti"
+    )
+
+
+def compact(spark: SparkSession, store: IndexStore) -> dict:
+    """Physically drop tombstoned docs and restore exact global statistics.
+    Returns the new corpus stats."""
+    tomb = tombstones(spark, store)
+    cstats = store.corpus_stats()
+    if tomb is None:
+        return cstats
+    tomb = tomb.persist()
+    n_buckets = cstats["n_buckets"]
+    drange_span = cstats["drange_span"]
+    n_chunks = cstats["n_chunks"]
+
+    # docs
+    docs_live = store.docs(spark).join(tomb, "doc_id", "left_anti")
+    tmp = store.docs_path + "_tmp"
+    docs_live.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(store.docs_path)
+    shutil.move(tmp, store.docs_path)
+
+    # postings (keep bucket layout)
+    post_live = store.postings(spark).join(tomb, "doc_id", "left_anti")
+    tmp = store.postings_path + "_tmp"
+    (
+        post_live.repartition(n_buckets, "tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(store.postings_path)
+    shutil.move(tmp, store.postings_path)
+
+    # positions
+    pos_live = store.positions(spark).join(tomb, "doc_id", "left_anti")
+    tmp = store.positions_path + "_tmp"
+    pos_live.sortWithinPartitions("term").write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(store.positions_path)
+    shutil.move(tmp, store.positions_path)
+
+    # stats (exact recount — the reference's Indexer.java:744-764 semantics)
+    docs = store.docs(spark)
+    crow = docs.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = crow["n"], float(crow["avgdl"] or 0.0)
+    postings = store.postings(spark)
+    term_stats = build_term_stats(postings, n_docs).withColumn(
+        "tbucket", term_bucket_col(F.col("term"), n_buckets)
+    )
+    tmp = store.term_stats_path + "_tmp"
+    (
+        term_stats.repartition(n_buckets, "tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(store.term_stats_path)
+    shutil.move(tmp, store.term_stats_path)
+
+    # segments: full re-encode into a single fresh chunk set
+    seg_tmp = store.segments_path + "_tmp"
+    segs = encode_segments(postings, avgdl, drange_span, n_buckets).persist()
+    segs.write.mode("overwrite").parquet(seg_tmp + "/chunk=0")
+    m = segs.agg(
+        F.count("*").alias("n_segments"),
+        F.sum("df_local").alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"),
+        F.countDistinct("drange").alias("n_dranges"),
+        F.sum(F.length("postings")).alias("bytes"),
+        F.min("first_doc_id").alias("min_doc_id"),
+        F.max("last_doc_id").alias("max_doc_id"),
+    ).collect()[0]
+    segs.unpersist()
+    shutil.rmtree(store.segments_path)
+    shutil.move(seg_tmp, store.segments_path)
+    if store.manifest_dir.exists():
+        shutil.rmtree(store.manifest_dir)
+    store.write_manifest(
+        0,
+        {
+            "chunk": 0,
+            "input": "compaction",
+            "drange_span": drange_span,
+            "n_segments": m["n_segments"],
+            "n_postings": int(m["n_postings"] or 0),
+            "n_terms": m["n_terms"],
+            "n_dranges": m["n_dranges"],
+            "bytes": int(m["bytes"] or 0),
+            "min_doc_id": m["min_doc_id"],
+            "max_doc_id": m["max_doc_id"],
+            "completed_unix": time.time(),
+        },
+    )
+    shutil.rmtree(tombstones_path(store), ignore_errors=True)
+    tomb.unpersist()
+
+    cstats.update(
+        {"n_docs": n_docs, "avgdl": avgdl, "n_chunks": 1,
+         "compacted_unix": time.time()}
+    )
+    store.write_corpus_stats(cstats)
+    return cstats

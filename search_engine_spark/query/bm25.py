@@ -82,6 +82,9 @@ def bm25_topk(
         return spark.createDataFrame([], "doc_id long, score double")
     scored = cand.withColumn("term_score", score_expr(cstats["avgdl"]))
     agg = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+    from ..index.deletes import live_filter
+
+    agg = live_filter(spark, store, agg)
     if k is None:
         return agg
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

