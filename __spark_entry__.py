@@ -290,8 +290,24 @@ def _transcript_store(spark: SparkSession):
     ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix")
     store = IndexStore(ix_dir)
     if not store.corpus_stats_path.exists():
-        df = generate_spark(spark, 300, seed=42)
-        store = build_index(spark, df, ix_dir, n_chunks=2)
+        # exclusive-create lock: queries() callables may run concurrently
+        lock = Path(ix_dir + ".lock")
+        lock.parent.mkdir(parents=True, exist_ok=True)
+        import time
+
+        try:
+            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            try:
+                df = generate_spark(spark, 300, seed=42)
+                store = build_index(spark, df, ix_dir, n_chunks=2)
+            finally:
+                lock.unlink(missing_ok=True)
+        except FileExistsError:
+            for _ in range(600):  # wait for the builder holding the lock
+                if store.corpus_stats_path.exists() and not lock.exists():
+                    break
+                time.sleep(1)
     return store
 
 

@@ -24,18 +24,23 @@ and the pytest/DuckDB oracles so that parity holds by construction.
 from __future__ import annotations
 
 import re
-from pathlib import Path
+from importlib import resources
 
 from .porter import porter_stem
 
 _TOKEN_RE = re.compile(r"[a-zA-Z]+")
 
-_STOPWORDS_PATH = Path(__file__).resolve().parent.parent / "data" / "stop_words.txt"
-
 
 def load_stopwords() -> frozenset[str]:
+    # importlib.resources is zip-safe: the package may be deployed via
+    # spark-submit --py-files search_engine_spark.zip
+    text = (
+        resources.files("search_engine_spark.data")
+        .joinpath("stop_words.txt")
+        .read_text()
+    )
     words = []
-    for line in _STOPWORDS_PATH.read_text().splitlines():
+    for line in text.splitlines():
         w = line.strip().lower()
         if w:
             words.append(w)
