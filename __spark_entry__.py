@@ -453,19 +453,19 @@ def _logical_spark(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     n_docs, avgdl = stats["n"], float(stats["avgdl"])
 
     def scored(phrase: str) -> DataFrame:
-        import math
+        from pyspark.sql.window import Window
 
-        m = phrase_matches_adhoc(docs, phrase).join(lens, "doc_id").persist()
-        dfv = m.count()
-        if dfv == 0:
-            return spark.createDataFrame([], "doc_id long, score double")
-        idf = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        m = phrase_matches_adhoc(docs, phrase).join(lens, "doc_id")
+        dfv = F.count("*").over(Window.partitionBy())
+        idf = F.log(
+            1.0 + (F.lit(float(n_docs)) - dfv + 0.5) / (dfv + 0.5)
+        )
         tf = F.col("phrase_count").cast("double")
         dl = F.col("doc_len").cast("double")
         impact = tf * (BM25_K1 + 1.0) / (
             tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
         )
-        return m.select("doc_id", (F.lit(idf) * impact).alias("score"))
+        return m.select("doc_id", (idf * impact).alias("score"))
 
     res = combine(scored(PHRASE), scored(PHRASE_B), op, k=K)
     return res.select("doc_id", F.round("score", 6).alias("score"))

@@ -118,26 +118,27 @@ def phrase_topk(
     """BM25-score the phrase as a synthetic term (the reference builds a
     synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
     275-355,459-472``): tf = phrase_count, df = |matching docs|."""
+    from pyspark.sql.window import Window
+
     from ..index.codec import BM25_B, BM25_K1
 
     matches = phrase_matches(spark, store, terms)
     cstats = store.corpus_stats()
     n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
-    matches = matches.persist()
-    df_phrase = matches.count()
-    if df_phrase == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
-    import math
-
-    idf = math.log(1.0 + (n_docs - df_phrase + 0.5) / (df_phrase + 0.5))
+    # df of the synthetic phrase term via a global window over the (small)
+    # match set — keeps scoring in the SAME job as matching (no extra
+    # count() action; the reference pays a full extra pass here,
+    # QueryProcessor.java:469-472)
+    df_phrase = F.count("*").over(Window.partitionBy())
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - df_phrase + 0.5) / (df_phrase + 0.5)
+    )
     tf = F.col("phrase_count").cast("double")
     dl = F.col("doc_len").cast("double")
     impact = tf * (BM25_K1 + 1.0) / (
         tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
     )
-    scored = matches.withColumn("score", F.lit(idf) * impact).select(
-        "doc_id", "score"
-    )
+    scored = matches.withColumn("score", idf * impact).select("doc_id", "score")
     if k is None:
         return scored
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

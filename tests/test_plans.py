@@ -1,0 +1,66 @@
+"""Physical-plan shape regressions: the scale properties we claim must be
+visible in `.explain` output — partition pruning on term buckets, parquet
+filter pushdown, broadcast joins for small sides, TakeOrderedAndProject for
+top-k (SURVEY.md §4)."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term_filter(spark, index_store):
+    from search_engine_spark.index.build import term_bucket_py
+
+    term = "spark"
+    df = (
+        index_store.postings(spark)
+        .filter(F.col("tbucket") == term_bucket_py(term))
+        .filter(F.col("term") == term)
+        .select("doc_id", "tf")
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    # tbucket appears as a partition filter, term as a pushed data filter
+    assert "tbucket" in plan.split("PartitionFilters", 1)[1].split("\n", 2)[0] or \
+           "tbucket" in plan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "term" in pushed
+    # column pruning: the fat importance column is not read
+    assert "importance" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+
+
+def test_bm25_topk_uses_take_ordered_and_broadcasts_stats(spark, index_store):
+    from search_engine_spark.analysis import analyze_query
+    from search_engine_spark.query.bm25 import bm25_topk
+
+    df = bm25_topk(spark, index_store, analyze_query("spark index"), k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_metadata_join_is_broadcast(spark, index_store):
+    from search_engine_spark.query.pipeline import search
+
+    df = search(spark, index_store, "spark", k=5)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wand_segment_scan_prunes_by_term(spark, index_store):
+    from search_engine_spark.index.build import term_bucket_py
+
+    term = "spark"
+    segs = (
+        index_store.segments(spark)
+        .filter(F.col("tbucket") == term_bucket_py(term))
+        .filter(F.col("term") == term)
+    )
+    plan = _plan(segs)
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
