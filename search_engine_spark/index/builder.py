@@ -165,7 +165,8 @@ def build_index(
         )
         segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets).persist()
         chunk_path = f"{store.segments_path}/chunk={chunk}"
-        segs.write.mode("overwrite").parquet(chunk_path)
+        # tbucket partition dirs -> term-lookup queries prune whole buckets
+        segs.write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
         tick(f"chunk {chunk} encode+write")
         # lineage + metrics over the cached encoded rows (A11 analog);
         # written AFTER the chunk's _SUCCESS so chunk_done => both exist

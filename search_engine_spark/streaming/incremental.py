@@ -103,7 +103,7 @@ def append_batch(spark: SparkSession, store: IndexStore, batch_df: DataFrame) ->
     new_chunk = max((m["chunk"] for m in store.manifests()), default=-1) + 1
     segs = encode_segments(compact, avgdl, drange_span, n_buckets).persist()
     chunk_path = f"{store.segments_path}/chunk={new_chunk}"
-    segs.write.mode("overwrite").parquet(chunk_path)
+    segs.write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
     m = segs.agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),

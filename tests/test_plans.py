@@ -62,5 +62,8 @@ def test_wand_segment_scan_prunes_by_term(spark, index_store):
         .filter(F.col("term") == term)
     )
     plan = _plan(segs)
+    # tbucket is a partition dir inside each chunk -> whole-bucket pruning
+    assert "PartitionFilters" in plan
+    assert "tbucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
