@@ -408,6 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lsh_ann_topk"] = q(  # rows-only (seeded random hyperplanes)
         lambda s, d: similarity.lsh_bucket_topk(_emb(s, d), _qvec(s, d), k=K)
     )
+    out["ivf_kmeans_topk"] = q(  # rows-only (Lloyd iterations)
+        lambda s, d: similarity.ivf_kmeans_topk(
+            _emb(s, d), _qvec(s, d), k=K, n_centroids=8, n_probe=4
+        )
+    )
 
     # --- multimodal plumbing (binary columns; decode is a gated stub) ------
     out["media_meta"] = q(

@@ -167,3 +167,78 @@ def lsh_bucket_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations for IVF coarse quantization: init =
+    the n_centroids lowest-id vectors, then n_iter assign/mean rounds as
+    DataFrame jobs (assignment is JVM-side; only the K centroid means are
+    collected per round — nothing corpus-sized reaches the driver)."""
+    cent_rows = (
+        emb.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    centroids = [(int(i), [float(x) for x in r["cv"]]) for i, r in enumerate(cent_rows)]
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        dim = len(centroids[0][1])
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.element_at("embedding", d + 1).cast("double")).alias(f"m{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {
+            int(r["centroid_id"]): [float(r[f"m{d}"]) for d in range(dim)]
+            for r in means
+        }
+        centroids = [
+            (cid, new.get(cid, cv)) for cid, cv in centroids  # keep empty cells
+        ]
+    return centroids
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with k-means-trained centroids (the production shape of
+    ``ivf_topk``; not SQL-expressible -> verified by recall tests)."""
+    centroids = kmeans_centroids(emb, n_centroids, n_iter, vec_col, id_col)
+    qv = np.asarray(qvec, dtype=np.float64)
+
+    def cos(u):
+        u = np.asarray(u, dtype=np.float64)
+        n = np.linalg.norm(u)
+        return float(u @ qv / (n * np.linalg.norm(qv))) if n else -1.0
+
+    probe = sorted(centroids, key=lambda c: (-round(cos(c[1]), 9), c[0]))[:n_probe]
+    probe_ids = [c[0] for c in probe]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -27,6 +27,36 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+# canonical artifact schemas — used only as empty-read fallbacks (a zero-doc
+# corpus writes directories with no parquet part files)
+DOCS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, doc_id long, doc_len int, content_hash string"
+)
+POSTINGS_DDL = (
+    "doc_id long, term string, tf int, doc_len int, importance double, "
+    "tbucket int"
+)
+POSITIONS_DDL = "term string, doc_id long, tf int, doc_len int, positions binary"
+TERM_STATS_DDL = "term string, df long, idf double, bm25_idf double, tbucket int"
+SEGMENTS_DDL = (
+    "term string, drange long, df_local long, first_doc_id long, "
+    "last_doc_id long, max_impact double, postings binary, tbucket int, "
+    "chunk int"
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, fallback_ddl: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], fallback_ddl)
+        raise
+
+
 class IndexStore:
     def __init__(self, index_dir: str):
         self.dir = Path(index_dir)
@@ -71,21 +101,22 @@ class IndexStore:
 
     # -- readers ---------------------------------------------------------
     def docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.docs_path)
+        return _read_or_empty(spark, self.docs_path, DOCS_DDL)
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.postings_path)
+        return _read_or_empty(spark, self.postings_path, POSTINGS_DDL)
 
     def positions(self, spark: SparkSession) -> DataFrame:
         """Positional family (phrase queries): term, doc_id, positions."""
-        return spark.read.parquet(self.positions_path)
+        return _read_or_empty(spark, self.positions_path, POSITIONS_DDL)
 
     def segments(self, spark: SparkSession) -> DataFrame:
-        # chunk=N dirs are discovered as a partition column -> pruning works
-        return spark.read.parquet(self.segments_path)
+        # chunk=N/tbucket=M dirs are discovered as partition columns ->
+        # directory-level pruning on term lookups
+        return _read_or_empty(spark, self.segments_path, SEGMENTS_DDL)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.term_stats_path)
+        return _read_or_empty(spark, self.term_stats_path, TERM_STATS_DDL)
 
     def corpus_stats(self) -> dict:
         return json.loads(self.corpus_stats_path.read_text())

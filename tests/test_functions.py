@@ -189,3 +189,29 @@ def test_conversation_graph_and_popularity_blend(spark, transcripts_df, tmp_path
     pop0 = docs.filter(f"doc_id = {d0}").collect()[0]["popularity"]
     import pytest as _pt
     assert blended[0]["score"] == _pt.approx(0.7 * rel[d0] + 0.3 * pop0, rel=1e-9)
+
+
+def test_ivf_kmeans_recall(spark):
+    from search_engine_spark.functions.similarity import (
+        cosine_topk,
+        ivf_kmeans_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    # clustered data: 4 gaussian blobs -> kmeans should carve them out
+    centers = rng.standard_normal((4, 12)) * 4
+    M = np.vstack([centers[i % 4] + rng.standard_normal(12) * 0.3 for i in range(400)])
+    emb = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(emb, n_centroids=4, n_iter=3)
+    assert len(cents) == 4
+    q = M[11].tolist()
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_kmeans_topk(emb, q, k=10, n_centroids=4, n_probe=1).collect()]
+    # probing ONE of four kmeans cells on well-separated blobs: high recall
+    assert len(set(exact) & set(approx)) >= 8
+    assert approx[0] == exact[0] == 11
