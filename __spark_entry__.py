@@ -458,10 +458,10 @@ def _logical_spark(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     n_docs, avgdl = stats["n"], float(stats["avgdl"])
 
     def scored(phrase: str) -> DataFrame:
-        from pyspark.sql.window import Window
-
         m = phrase_matches_adhoc(docs, phrase).join(lens, "doc_id")
-        dfv = F.count("*").over(Window.partitionBy())
+        dfc = m.agg(F.count("*").alias("df_phrase"))
+        m = m.crossJoin(F.broadcast(dfc))
+        dfv = F.col("df_phrase").cast("double")
         idf = F.log(
             1.0 + (F.lit(float(n_docs)) - dfv + 0.5) / (dfv + 0.5)
         )

@@ -118,18 +118,18 @@ def phrase_topk(
     """BM25-score the phrase as a synthetic term (the reference builds a
     synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
     275-355,459-472``): tf = phrase_count, df = |matching docs|."""
-    from pyspark.sql.window import Window
-
     from ..index.codec import BM25_B, BM25_K1
 
     matches = phrase_matches(spark, store, terms)
     cstats = store.corpus_stats()
     n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
-    # df of the synthetic phrase term via a global window over the (small)
-    # match set — keeps scoring in the SAME job as matching (no extra
-    # count() action; the reference pays a full extra pass here,
-    # QueryProcessor.java:469-472)
-    df_phrase = F.count("*").over(Window.partitionBy())
+    # df of the synthetic phrase term: broadcast a 1-row count onto the
+    # match set — same job as matching (no extra count() action; the
+    # reference pays a full extra pass here, QueryProcessor.java:469-472)
+    # and, unlike a global window, no single-partition shuffle of matches.
+    dfc = matches.agg(F.count("*").alias("df_phrase"))
+    matches = matches.crossJoin(F.broadcast(dfc))
+    df_phrase = F.col("df_phrase").cast("double")
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - df_phrase + 0.5) / (df_phrase + 0.5)
     )
