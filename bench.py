@@ -48,7 +48,7 @@ HI_CPUS = min(HI_CPUS, CPUS)
 
 m = re.search(r"sf([0-9.]+)", SF_DIR)
 SF = float(m.group(1)) if m else 0.1
-N_CONVS = max(int(1_000_000 * SF), 300)  # sf0.1 -> 100k convs (~650k turns)
+N_CONVS = max(int(500_000 * SF), 300)  # sf0.1 -> 50k convs (~325k turns)
 
 QUERY_SET = [
     ("term_head_df", "spark index query", "df"),
