@@ -185,6 +185,7 @@ def build_index(
                 "chunk": chunk,
                 "input": "transcripts",
                 "drange_span": drange_span,
+                "encode_avgdl": avgdl,
                 "n_segments": m["n_segments"],
                 "n_postings": int(m["n_postings"] or 0),
                 "n_terms": m["n_terms"],

@@ -147,6 +147,7 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
             "chunk": 0,
             "input": "compaction",
             "drange_span": drange_span,
+            "encode_avgdl": avgdl,
             "n_segments": m["n_segments"],
             "n_postings": int(m["n_postings"] or 0),
             "n_terms": m["n_terms"],

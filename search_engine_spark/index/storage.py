@@ -22,6 +22,7 @@ abstraction. Layout under ``index_dir``:
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,3 +138,71 @@ class IndexStore:
             for p in sorted(self.manifest_dir.glob("chunk_*.json")):
                 out.append(json.loads(p.read_text()))
         return out
+
+    # -- streaming-append ledger (idempotent foreachBatch) -----------------
+    # foreachBatch gives at-least-once delivery: a crash between the batch's
+    # writes and the streaming checkpoint commit re-runs the whole batch.
+    # The ledger records committed batch_ids (skip on replay) and inflight
+    # batch state (docID base + chunk number pinned at first attempt), so a
+    # retried partial batch republishes the SAME artifacts instead of
+    # appending duplicates. On Iceberg this is the snapshot-commit property;
+    # on the parquet fallback it's tmp-write + rename (both atomic moves).
+
+    @property
+    def ledger_path(self) -> Path:
+        return self.dir / "stats" / "stream_ledger.json"
+
+    def read_ledger(self) -> dict:
+        if self.ledger_path.exists():
+            return json.loads(self.ledger_path.read_text())
+        return {"committed": {}, "inflight": {}}
+
+    def write_ledger(self, ledger: dict) -> None:
+        self.ledger_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.ledger_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(ledger, indent=2))
+        tmp.rename(self.ledger_path)
+
+    # -- staged appends ----------------------------------------------------
+    # All physical mutations of live artifact dirs go through these two
+    # helpers so the Iceberg swap-in (append()/overwritePartitions()) is a
+    # one-file change: operator code never touches the filesystem directly.
+
+    def staging_dir(self, name: str) -> str:
+        return str(self.dir / "_staging" / name)
+
+    def unpublish(self, target: str, prefix: str) -> None:
+        """Remove previously-published data files carrying ``prefix`` (a
+        failed earlier attempt of the same batch) from ``target``."""
+        root = Path(target)
+        if not root.exists():
+            return
+        for p in root.rglob(f"{prefix}*"):
+            if p.is_file():
+                p.unlink()
+
+    def publish(self, staging: str, target: str, prefix: str) -> None:
+        """Move the data files of a staged write into the live artifact dir
+        under collision-proof ``prefix``-ed names, preserving any partition
+        subdirectory layout (e.g. ``tbucket=N/``). Idempotent per prefix when
+        preceded by ``unpublish``."""
+        src = Path(staging)
+        dst = Path(target)
+        for p in sorted(src.rglob("*")):
+            if not p.is_file() or p.name.startswith(("_", ".")):
+                continue  # skip _SUCCESS / hidden markers
+            rel = p.relative_to(src)
+            out = dst / rel.parent / f"{prefix}{p.name}"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(p), str(out))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def replace_dir(self, tmp: str, target: str) -> None:
+        """Swap a rewritten artifact dir into place (compaction / popularity
+        writeback). Iceberg equivalent: overwritePartitions / RewriteFiles."""
+        if Path(target).exists():
+            shutil.rmtree(target)
+        shutil.move(tmp, target)
+
+    def remove_dir(self, target: str) -> None:
+        shutil.rmtree(target, ignore_errors=True)

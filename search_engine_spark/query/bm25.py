@@ -109,12 +109,15 @@ def tfidf_topk(
         * (F.col("tf").cast("double") / F.col("doc_len"))
         * F.col("idf")
     )
-    return (
+    from ..index.deletes import live_filter
+
+    agg = (
         cand.withColumn("term_score", rel)
         .groupBy("doc_id")
         .agg(
             (0.7 * F.sum("term_score") + 0.3 * F.lit(popularity)).alias("score")
         )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
+    # tombstoned docs are anti-filtered at serve time, like every query path
+    agg = live_filter(spark, store, agg)
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -32,19 +32,38 @@ from ..index.codec import BM25_B, BM25_K1, PostingSegment, bm25_idf
 from ..index.storage import IndexStore
 
 
+def _seg_entries(bufs) -> list[tuple[bytes, float]]:
+    """Normalize a term's segment list: entries are either raw ``bytes`` or
+    ``(bytes, bound_scale)``. ``bound_scale`` inflates the STORED block-max
+    impacts (computed at encode-time avgdl) into a valid upper bound at the
+    current query-time avgdl: impact is monotone increasing in avgdl and
+    impact(avgdl_q) <= impact(avgdl_e) * avgdl_q/avgdl_e whenever
+    avgdl_q > avgdl_e, so scale = max(1, avgdl_q/avgdl_e) is safe. Exact
+    scoring always recomputes from (tf, dl) with the query-time avgdl."""
+    out = []
+    for b in bufs:
+        if isinstance(b, tuple):
+            out.append((b[0], float(b[1])))
+        else:
+            out.append((b, 1.0))
+    return out
+
+
 class _TermIter:
     """Cursor over one term's decoded-on-demand segment with block skipping."""
 
     __slots__ = ("seg", "weight", "avgdl", "bi", "i", "doc_ids", "tfs", "dls",
-                 "cur", "max_score", "exhausted")
+                 "cur", "max_score", "exhausted", "bound_scale")
 
-    def __init__(self, seg: PostingSegment, weight: float, avgdl: float):
+    def __init__(self, seg: PostingSegment, weight: float, avgdl: float,
+                 bound_scale: float = 1.0):
         self.seg = seg
         self.weight = weight  # qtf * idf
         self.avgdl = avgdl
+        self.bound_scale = bound_scale
         self.bi = -1
         self.exhausted = False
-        self.max_score = float(weight * seg.impacts.max())
+        self.max_score = float(weight * seg.impacts.max() * bound_scale)
         self._load_block(0)
 
     def _load_block(self, bi: int):
@@ -60,7 +79,7 @@ class _TermIter:
     def block_max_score(self) -> float:
         if self.exhausted:
             return 0.0
-        return float(self.weight * self.seg.impacts[self.bi])
+        return float(self.weight * self.seg.impacts[self.bi] * self.bound_scale)
 
     def next_geq(self, target: int):
         """Advance to the first docID >= target (block-skip via directory)."""
@@ -99,13 +118,14 @@ def wand_topk_segments(
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one drange shard. ``term_segments`` maps each
     query term to its encoded segment buffers within the shard (docID-sorted,
-    disjoint). Returns [(doc_id, score)] sorted by (-score, doc_id)."""
+    disjoint) — raw ``bytes`` or ``(bytes, bound_scale)`` (see
+    ``_seg_entries``). Returns [(doc_id, score)] sorted by (-score, doc_id)."""
     iters: list[_TermIter] = []
     for term, bufs in term_segments.items():
         w = term_weights[term]
-        for buf in bufs:
+        for buf, scale in _seg_entries(bufs):
             if buf:
-                iters.append(_TermIter(PostingSegment(buf), w, avgdl))
+                iters.append(_TermIter(PostingSegment(buf), w, avgdl, scale))
     if not iters:
         return []
 
@@ -187,11 +207,13 @@ def blockmax_topk_segments(
     faster in Python because no per-document loop survives.
     """
     segs: list[tuple[PostingSegment, float]] = []
+    bound_scales: list[float] = []
     for term, bufs in term_segments.items():
         w = term_weights[term]
-        for buf in bufs:
+        for buf, scale in _seg_entries(bufs):
             if buf:
                 segs.append((PostingSegment(buf), w))
+                bound_scales.append(scale)
     if not segs:
         return []
 
@@ -199,6 +221,9 @@ def blockmax_topk_segments(
     cur_block = np.zeros(n, dtype=np.int64)          # current block index
     n_blocks = np.array([s.n_blocks for s, _ in segs], dtype=np.int64)
     weights = np.array([w for _, w in segs], dtype=np.float64)
+    # stored impacts were computed at encode-time avgdl; scale them into a
+    # valid bound at query-time avgdl (see _seg_entries)
+    ub_weights = weights * np.array(bound_scales, dtype=np.float64)
     # first docID of the current block per segment (for region entry check)
     first_doc = np.array(
         [s.block(0)[0][0] if s.n_blocks else np.iinfo(np.int64).max for s, _ in segs],
@@ -226,7 +251,7 @@ def blockmax_topk_segments(
         overlapping = [i for i in active if block_first(i) <= region_end]
         threshold = heap[0][0] if len(heap) >= k else float("-inf")
         ub = sum(
-            float(weights[i] * segs[i][0].impacts[cur_block[i]])
+            float(ub_weights[i] * segs[i][0].impacts[cur_block[i]])
             for i in overlapping
         )
         if ub > threshold and overlapping:
@@ -344,17 +369,33 @@ def bm25_topk_wand(
     )
     b_excl = spark.sparkContext.broadcast(excl)
 
+    # per-chunk encode-time avgdl: stored block-max impacts are only a valid
+    # upper bound at the avgdl they were encoded with; after streaming
+    # appends the corpus avgdl drifts, so inflate each chunk's bounds by
+    # max(1, avgdl_now / encode_avgdl) (exact scores are always recomputed
+    # from tf/dl with the current avgdl — ranks stay df-path-identical).
+    bound_scale_by_chunk = {
+        int(m["chunk"]): (
+            max(1.0, avgdl / float(m["encode_avgdl"]))
+            if float(m.get("encode_avgdl") or 0.0) > 0.0
+            else 1.0
+        )
+        for m in store.manifests()
+    }
+    b_scales = spark.sparkContext.broadcast(bound_scale_by_chunk)
+
     segs = (
         store.segments(spark)
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("term").isin(uniq))
-        .select("term", "drange", "postings")
+        .select("term", "drange", "postings", "chunk")
     )
 
     def shard_wand(pdf: pd.DataFrame) -> pd.DataFrame:
-        term_segments: dict[str, list[bytes]] = {}
-        for term, buf in zip(pdf["term"], pdf["postings"]):
-            term_segments.setdefault(term, []).append(bytes(buf))
+        term_segments: dict[str, list] = {}
+        for term, buf, chunk in zip(pdf["term"], pdf["postings"], pdf["chunk"]):
+            scale = b_scales.value.get(int(chunk), 1.0)
+            term_segments.setdefault(term, []).append((bytes(buf), scale))
         top = blockmax_topk_segments(
             term_segments, b_weights.value, avgdl, k, excluded=b_excl.value
         )

@@ -17,8 +17,14 @@ batches, and each batch appends a self-contained index delta:
   block-max WAND simply sees extra per-(term,drange) iterators — queries
   stay correct with no segment rewrite.
 
-Exactly-once per batch comes from the streaming checkpoint; the index-side
-chunk manifest makes the append itself observable/resumable.
+foreachBatch is at-least-once (a crash between the batch's writes and the
+streaming checkpoint commit replays the batch), so the append is made
+idempotent per batch_id: committed batch_ids are recorded in the store's
+stream ledger (replays skip), the docID base + chunk number are pinned in
+the ledger at first attempt, and data files are staged then published under
+batch-prefixed names with a purge of any earlier failed attempt's files —
+a retried partial batch republishes the SAME artifacts instead of appending
+duplicates. Exactly-once = at-least-once delivery + this idempotent commit.
 """
 
 from __future__ import annotations
@@ -41,46 +47,79 @@ from ..index.build import (
 from ..index.storage import IndexStore
 
 
-def append_batch(spark: SparkSession, store: IndexStore, batch_df: DataFrame) -> int:
+def append_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    batch_df: DataFrame,
+    batch_id: int | None = None,
+) -> int:
     """Append one micro-batch of new transcripts to an existing index.
-    Returns the number of turns appended. (Called from foreachBatch; also
-    directly testable as a plain batch function.)"""
+    Returns the number of turns appended. Idempotent per ``batch_id`` (see
+    module docstring); ``batch_id=None`` (direct batch calls) still goes
+    through the staged-publish path but skips the replay check."""
     if batch_df.isEmpty():
         return 0
+    ledger = store.read_ledger()
+    key = str(batch_id) if batch_id is not None else None
+    if key is not None and key in ledger["committed"]:
+        return 0
     cstats = store.corpus_stats()
-    base = cstats["n_docs"]
     n_buckets = cstats["n_buckets"]
     drange_span = cstats["drange_span"]
 
-    ids = assign_doc_ids(batch_df).withColumn(
+    # pin docID base + chunk number at first attempt so a retried partial
+    # batch reproduces the same artifacts
+    if key is not None and key in ledger["inflight"]:
+        base = int(ledger["inflight"][key]["base"])
+        new_chunk = int(ledger["inflight"][key]["chunk"])
+    else:
+        base = cstats["n_docs"]
+        new_chunk = max((m["chunk"] for m in store.manifests()), default=-1) + 1
+        if key is not None:
+            ledger["inflight"][key] = {"base": base, "chunk": new_chunk}
+            store.write_ledger(ledger)
+    prefix = f"b{key if key is not None else new_chunk}-"
+    # purge data files from a failed earlier attempt of this batch
+    for target in (store.docs_path, store.positions_path, store.postings_path):
+        store.unpublish(target, prefix)
+
+    cleanup: list[DataFrame] = []
+    ids = assign_doc_ids(batch_df, cleanup=cleanup).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base)
     )
     analyzed = with_terms(ids).persist()
+    cleanup.append(analyzed)
     docs = (
         analyzed.withColumn("doc_len", F.size("terms"))
         .withColumn("content_hash", F.sha2(F.col("text"), 256))
         .drop("terms")
     )
-    docs.write.mode("append").parquet(store.docs_path)
+    stage = store.staging_dir(f"{prefix}docs")
+    docs.write.mode("overwrite").parquet(stage)
+    store.publish(stage, store.docs_path, prefix)
 
     postings_all = build_postings(analyzed).persist()
+    cleanup.append(postings_all)
+    stage = store.staging_dir(f"{prefix}positions")
     (
         postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
         .sortWithinPartitions("term")
-        .write.mode("append")
-        .parquet(store.positions_path)
+        .write.mode("overwrite")
+        .parquet(stage)
     )
+    store.publish(stage, store.positions_path, prefix)
     compact = postings_all.drop("positions").withColumn(
         "tbucket", term_bucket_col(F.col("term"), n_buckets)
     )
+    stage = store.staging_dir(f"{prefix}postings")
     (
         compact.repartition(n_buckets, "tbucket")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("tbucket")
-        .parquet(store.postings_path)
+        .parquet(stage)
     )
+    store.publish(stage, store.postings_path, prefix)
     n_new = analyzed.count()
-    analyzed.unpersist()
 
     # global stats: recompute from the merged postings (pruned columns)
     merged = store.postings(spark)
@@ -99,8 +138,8 @@ def append_batch(spark: SparkSession, store: IndexStore, batch_df: DataFrame) ->
         .parquet(store.term_stats_path)
     )
 
-    # encode the delta into a new chunk (doc ranges disjoint from old chunks)
-    new_chunk = max((m["chunk"] for m in store.manifests()), default=-1) + 1
+    # encode the delta into a new chunk (doc ranges disjoint from old chunks;
+    # chunk number pinned -> overwrite is retry-safe)
     segs = encode_segments(compact, avgdl, drange_span, n_buckets).persist()
     chunk_path = f"{store.segments_path}/chunk={new_chunk}"
     segs.write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
@@ -119,6 +158,7 @@ def append_batch(spark: SparkSession, store: IndexStore, batch_df: DataFrame) ->
             "chunk": new_chunk,
             "input": "transcripts-stream",
             "drange_span": drange_span,
+            "encode_avgdl": avgdl,
             "n_segments": m["n_segments"],
             "n_postings": int(m["n_postings"] or 0),
             "n_terms": m["n_terms"],
@@ -130,13 +170,20 @@ def append_batch(spark: SparkSession, store: IndexStore, batch_df: DataFrame) ->
         },
     )
     segs.unpersist()
-    postings_all.unpersist()
+    for df_ in cleanup:
+        df_.unpersist()
 
     cstats.update(
         {"n_docs": n_docs, "avgdl": avgdl, "n_chunks": new_chunk + 1,
          "last_append_unix": time.time()}
     )
     store.write_corpus_stats(cstats)
+    # commit: inflight -> committed (atomic ledger rewrite)
+    ledger = store.read_ledger()
+    if key is not None:
+        ledger["inflight"].pop(key, None)
+        ledger["committed"][key] = {"chunk": new_chunk, "n_turns": n_new}
+        store.write_ledger(ledger)
     return n_new
 
 
@@ -156,7 +203,7 @@ def incremental_index_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(spark, store, batch_df)
+        append_batch(spark, store, batch_df, batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
