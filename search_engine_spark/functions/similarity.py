@@ -63,24 +63,16 @@ def ivf_assign(
     emb: DataFrame, centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine; centroid-id
-    asc tiebreak). ``centroids`` = [(centroid_id, vector)]."""
-    spark = emb.sparkSession
-    sims = F.array(
-        *[
-            F.struct(
-                F.round(cosine_col(F.col(vec_col), cv), 9).alias("sim"),
-                F.lit(-cid).alias("neg_cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )
-    best = F.array_max(sims)
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        (-best["neg_cid"]).cast("int").alias("centroid_id"),
-    )
+    """Assign each vector to its nearest centroid (max cosine, 9dp rounding;
+    centroid-id asc tiebreak). ``centroids`` = [(centroid_id, vector)].
+
+    Implemented as an Arrow-batched matmul against a broadcast centroid
+    matrix (vector_index.assign_nearest_centroid): O(batch x K) BLAS instead
+    of a per-centroid Catalyst expression tree, which is O(K * dim) codegen
+    and stops compiling at production centroid counts."""
+    from .vector_index import assign_nearest_centroid
+
+    return assign_nearest_centroid(emb, centroids, id_col, vec_col)
 
 
 def ivf_topk(
@@ -187,23 +179,22 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [(int(i), [float(x) for x in r["cv"]]) for i, r in enumerate(cent_rows)]
+    dim = len(centroids[0][1])
     for _ in range(n_iter):
         assigned = ivf_assign(emb, centroids, id_col, vec_col)
-        dim = len(centroids[0][1])
-        means = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                *[
-                    F.avg(F.element_at("embedding", d + 1).cast("double")).alias(f"m{d}")
-                    for d in range(dim)
-                ]
+        # per-dim means via posexplode + hash agg (K*dim tiny rows collected;
+        # the per-dim element_at expression tree would be O(dim) codegen)
+        rows = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
             )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
             .collect()
         )
-        new = {
-            int(r["centroid_id"]): [float(r[f"m{d}"]) for d in range(dim)]
-            for r in means
-        }
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r["centroid_id"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
         centroids = [
             (cid, new.get(cid, cv)) for cid, cv in centroids  # keep empty cells
         ]
