@@ -86,7 +86,10 @@ def _values_terms(terms: list[str]) -> str:
     return ", ".join(f"('{t}', {float(n)})" for t, n in sorted(c.items()))
 
 
-def _bm25_sql(terms: list[str], k: int) -> str:
+def _bm25_sql(terms: list[str], k: int, boost_mult: float = 1.0) -> str:
+    """``boost_mult``: constant role-weight multiplier — every documents-table
+    row is indexed as role='user' (weight 3.0), so the boosted engine path's
+    oracle is the plain BM25 scores x3."""
     in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     return f"""
 WITH {_KEPT_CTE}, {_DL_CTE},
@@ -105,7 +108,7 @@ scored AS (
   FROM tf JOIN dfreq USING (term) JOIN qterms USING (term)
        JOIN dl USING (doc_id) CROSS JOIN stats
 )
-SELECT doc_id, round(sum(s), 6) AS score
+SELECT doc_id, round(sum(s) * {boost_mult}, 6) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}
 """
@@ -338,7 +341,9 @@ def _transcript_store(spark: SparkSession):
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.index.storage import IndexStore
 
-    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix")
+    # _v2: positions/ gained tbucket partition dirs — stale memoized indexes
+    # from older layouts must not be reused
+    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v2")
     store = IndexStore(ix_dir)
     if not store.corpus_stats_path.exists():
         # exclusive-create lock: queries() callables may run concurrently
@@ -419,6 +424,63 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     return d
 
 
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """Map the ``documents`` table into the transcript input shape so the
+    FULL index engine (segments, WAND, tombstones) can be oracle-checked
+    against DuckDB on a table it can see. conv_id is the zero-padded doc_id,
+    so assign_doc_ids' (conv_id, turn_idx) ordering reproduces the original
+    dense doc_id — engine doc_ids == documents.doc_id by construction."""
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def _docs_index(spark: SparkSession, sf_dir: str):
+    """Memoized NO-STEM index over the documents table: the same artifacts
+    and query paths as the flagship transcript engine, but with an analyzer
+    DuckDB can replay — this is what upgrades the segment/WAND family from
+    rows-only to hash-checked."""
+    import hashlib
+
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.index.storage import IndexStore
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v1_{h}"
+    done = Path(d) / "_ENTRY_DONE"
+
+    def build():
+        build_index(
+            spark, _docs_as_transcripts(_docs(spark, sf_dir)), d,
+            n_chunks=2, stem=False,
+        )
+        done.touch()
+
+    _locked_build(done, Path(d + ".lock"), build)
+    return IndexStore(d)
+
+
+def _index_bm25(engine: str, boost: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        store = _docs_index(spark, sf_dir)
+        if engine == "df":
+            from search_engine_spark.query.bm25 import bm25_topk
+
+            res = bm25_topk(spark, store, _Q_TERMS, k=K, boost=boost)
+        else:
+            from search_engine_spark.query.wand import bm25_topk_wand
+
+            res = bm25_topk_wand(spark, store, _Q_TERMS, k=K)
+        return res.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
+
+
 def _transcripts_search(engine: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.query.pipeline import search
@@ -493,8 +555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_lsh_pairs"] = q(
         lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     )
+    # threshold 0.5 + df-cap 100: the parameterization you'd run at scale —
+    # a low threshold materializes ~all pairs, an uncapped hot shingle makes
+    # the self-join quadratic
     out["jaccard_pairs"] = q(
-        lambda s, d: dedup.jaccard_pairs(_docs(s, d), n=2, threshold=0.01)
+        lambda s, d: dedup.jaccard_pairs(
+            _docs(s, d), n=2, threshold=0.5, max_df=100
+        )
     )
     out["simhash_pairs"] = q(  # rows-only (bit-level, not SQL-expressible)
         lambda s, d: dedup.simhash_dup_pairs(_docs(s, d), max_hamming=10)
@@ -549,6 +616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # --- snippets + highlighting over the top-k (T5/T8/O3) -----------------
+    out["snippet_spans"] = q(_snippet_spans)
+    out["highlight_topk"] = q(_highlight_topk)
+
     # --- graph: PageRank popularity prior (G1) ------------------------------
     out["pagerank"] = q(_spark_pagerank)
 
@@ -556,6 +627,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pricing_summary"] = q(_pricing_summary)
     out["top_revenue_orders"] = q(_top_revenue_orders)
     out["events_hourly"] = q(_events_hourly)
+
+    # --- full index engine (segments + block-max WAND) with a DuckDB twin:
+    #     no-stem build over the documents table, engine doc_ids == table
+    #     doc_ids by construction -------------------------------------------
+    out["index_bm25_df"] = q(_index_bm25("df"))
+    out["index_bm25_wand"] = q(_index_bm25("wand"))
+    out["index_bm25_boosted"] = q(_index_bm25("df", boost=True))
 
     # --- full stemmed engine over transcripts (rows-only; pytest holds the
     #     rank-identity gate for these) -------------------------------------
@@ -594,6 +672,106 @@ def _logical_spark(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
 
     res = combine(scored(PHRASE), scored(PHRASE_B), op, k=K)
     return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _topk_docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for the fixed query joined back to text (snippets run over
+    the FINAL top-k only — SURVEY.md T5 note)."""
+    from search_engine_spark.adhoc import bm25_topk_adhoc
+
+    docs = _docs(spark, sf_dir)
+    topk = bm25_topk_adhoc(docs, BM25_QUERY, k=K).select("doc_id")
+    return docs.join(F.broadcast(topk), "doc_id").select("doc_id", "text")
+
+
+def _snippet_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 window arithmetic: per (top-k doc, query term present) the
+    ±150-char context window snapped to sentence bounds — the real
+    ``query.snippets.window_spans`` code path, SQL-oracled."""
+    import pandas as pd
+
+    from search_engine_spark.query.snippets import window_spans
+
+    toks = list(_Q_TERMS)
+
+    def spans(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "term": [], "w_start": [], "w_end": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for t, s, e in window_spans(text or "", toks):
+                    rows["doc_id"].append(did)
+                    rows["term"].append(t)
+                    rows["w_start"].append(s)
+                    rows["w_end"].append(e)
+            yield pd.DataFrame(rows)
+
+    return _topk_docs_with_text(spark, sf_dir).mapInPandas(
+        spans, schema="doc_id long, term string, w_start long, w_end long"
+    )
+
+
+def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 query-time highlighting over the top-k, the real
+    ``query.snippets.highlight`` code path, SQL-oracled."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from search_engine_spark.query.snippets import highlight
+
+    toks = list(_Q_TERMS)
+
+    # no pd.Series annotations: pandas is function-local and this module has
+    # lazy annotations, so pandas_udf could not resolve the signature
+    @pandas_udf("string")
+    def hl(texts):
+        return pd.Series([highlight(t or "", toks) for t in texts])
+
+    return _topk_docs_with_text(spark, sf_dir).select(
+        "doc_id", hl(F.col("text")).alias("highlighted")
+    )
+
+
+def _snippet_spans_sql() -> str:
+    toks = ", ".join(f"('{t}')" for t in _Q_TERMS)
+    return f"""
+WITH topk AS ({_bm25_sql(_Q_TERMS, K)}),
+qtok(term) AS (VALUES {toks}),
+hit AS (
+  SELECT t.doc_id, q.term, d.text, strpos(lower(d.text), q.term) AS p
+  FROM topk t JOIN documents d USING (doc_id) CROSS JOIN qtok q
+),
+w0 AS (
+  SELECT doc_id, term, text, length(text) AS L,
+         greatest(0, p - 1 - 150) AS s0,
+         least(length(text), p - 1 + 150) AS e0
+  FROM hit WHERE p > 0
+),
+snap AS (
+  SELECT doc_id, term, s0, e0,
+         CASE WHEN strpos(reverse(substr(text, 1, s0)), ' .') > 0
+              THEN s0 - strpos(reverse(substr(text, 1, s0)), ' .') - 1
+              ELSE -1 END AS dot_b,
+         CASE WHEN strpos(substr(text, e0 + 1), '. ') > 0
+              THEN e0 + strpos(substr(text, e0 + 1), '. ') - 1
+              ELSE -1 END AS dot_f
+  FROM w0
+)
+SELECT doc_id, term,
+       CASE WHEN dot_b >= 0 AND s0 - dot_b < 150 THEN dot_b + 2 ELSE s0 END AS w_start,
+       CASE WHEN dot_f >= 0 AND dot_f - e0 < 150 THEN dot_f + 1 ELSE e0 END AS w_end
+FROM snap
+"""
+
+
+def _highlight_sql() -> str:
+    alt = "|".join(_Q_TERMS)
+    return f"""
+WITH topk AS ({_bm25_sql(_Q_TERMS, K)})
+SELECT t.doc_id,
+       regexp_replace(d.text, '(?i)\\b({alt})\\b', '<strong>\\1</strong>', 'g')
+       AS highlighted
+FROM topk t JOIN documents d USING (doc_id)
+"""
 
 
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +848,11 @@ FROM tf GROUP BY term
     )
     sql["bm25_topk"] = _bm25_sql(_Q_TERMS, K)
     sql["tfidf_topk"] = _tfidf_sql(_Q_TERMS, K)
+    # the SAME BM25 math must fall out of the full segment/WAND engine
+    sql["index_bm25_df"] = _bm25_sql(_Q_TERMS, K)
+    sql["index_bm25_wand"] = _bm25_sql(_Q_TERMS, K)
+    # all documents-table rows are role='user' (weight 3.0) -> boosted = x3
+    sql["index_bm25_boosted"] = _bm25_sql(_Q_TERMS, K, boost_mult=3.0)
     sql["phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     for op in ("AND", "OR", "NOT"):
         sql[f"logical_{op.lower()}"] = _logical_sql(op, K)
@@ -701,10 +884,12 @@ FROM banded a JOIN banded b
     sql["jaccard_pairs"] = f"""
 WITH raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr FROM documents),
 {shing2},
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -712,7 +897,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
-WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.01
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
 """
 
     sql["token_counts"] = """
@@ -800,6 +985,9 @@ SELECT doc_id,
        CAST(doc_id % 480 + 16 AS INTEGER) AS meta_height
 FROM documents
 """
+
+    sql["snippet_spans"] = _snippet_spans_sql()
+    sql["highlight_topk"] = _highlight_sql()
 
     sql["pagerank"] = _pagerank_sql(10)
 

@@ -97,25 +97,45 @@ def term_stats(docs: DataFrame, stem: bool = False) -> DataFrame:
     )
 
 
-def _scored_candidates(docs: DataFrame, terms: list[str], stem: bool) -> DataFrame:
-    """Shared retrieval: postings for the query terms joined with doc_len,
-    df and query-term multiplicity. Broadcasts the tiny sides."""
+def _scored_candidates(docs: DataFrame, terms: list[str], stem: bool):
+    """Shared retrieval: ONE persisted analyzer pass per query call — the
+    tokenized corpus is cached and postings / doc-frequencies / lengths /
+    corpus stats all derive from it (previously each was an independent plan
+    re-running the analyzer UDF; the analyzer is the dominant cost of an
+    index-free query). The cache entry lives for the process — acceptable
+    for the ad-hoc path, whose production twin is the persisted index.
+
+    Returns (candidates, n_docs, avgdl)."""
     spark = docs.sparkSession
     qtf = Counter(terms)
     uniq = sorted(qtf)
-    n_docs = docs.count()
-    post = term_postings(docs, stem=stem).filter(F.col("term").isin(uniq))
-    dfreq = term_doc_freq(docs, stem=stem).filter(F.col("term").isin(uniq))
-    lens = doc_lengths(docs, stem=stem)
+    ana = docs.select(
+        F.col("doc_id"), tokens_udf(stem)(F.col("text")).alias("terms")
+    ).persist()
+    lens = ana.select(
+        "doc_id", F.size("terms").cast("long").alias("doc_len")
+    )
+    st = lens.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(st["n"]), float(st["avgdl"] or 0.0)
+    tok = ana.select("doc_id", F.posexplode("terms").alias("pos", "term"))
+    post = (
+        tok.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
     qdf = spark.createDataFrame(
         [(t, float(c)) for t, c in qtf.items()], "term string, qtf double"
     )
-    return (
+    cand = (
         post.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qdf), "term")
         .join(lens, "doc_id")
         .withColumn("n_docs", F.lit(float(n_docs)))
     )
+    return cand, n_docs, avgdl
 
 
 def bm25_topk_adhoc(
@@ -126,8 +146,7 @@ def bm25_topk_adhoc(
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    avgdl = doc_lengths(docs, stem=stem).agg(F.avg("doc_len")).collect()[0][0]
-    cand = _scored_candidates(docs, terms, stem)
+    cand, _, avgdl = _scored_candidates(docs, terms, stem)
     tf = F.col("tf").cast("double")
     dl = F.col("doc_len").cast("double")
     idf = F.log(
@@ -156,7 +175,7 @@ def tfidf_topk_adhoc(
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    cand = _scored_candidates(docs, terms, stem)
+    cand, _, _ = _scored_candidates(docs, terms, stem)
     rel = (
         F.col("qtf")
         * (F.col("tf").cast("double") / F.col("doc_len"))
@@ -177,7 +196,12 @@ def phrase_matches_adhoc(docs: DataFrame, phrase: str, stem: bool = False) -> Da
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_count long")
-    tok = tokenized(docs, stem=stem)
+    # one persisted analyzer pass shared by every per-term join side
+    tok = (
+        tokenized(docs, stem=stem)
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .persist()
+    )
     if len(terms) == 1:
         return (
             tok.filter(F.col("term") == terms[0])

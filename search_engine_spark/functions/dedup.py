@@ -123,12 +123,32 @@ def minhash_lsh_pairs(
 
 
 def jaccard_pairs(
-    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle:
+    """n-gram Jaccard similarity for pairs sharing >=1 shingle:
     (doc_a, doc_b, jaccard) with jaccard >= threshold. Shared-shingle join
-    + |A|,|B| counts: inter/(|A|+|B|-inter)."""
+    + |A|,|B| counts: inter/(|A|+|B|-inter).
+
+    ``max_df`` is the frequent-shingle cap — the scale guard: a shingle
+    present in d docs contributes d^2/2 join rows, so one stop-bigram shared
+    by 10^6 docs makes the self-join quadratic. With the cap, shingles with
+    df > max_df are dropped from the REPRESENTATION (sizes and intersections
+    both computed over the surviving rare shingles — the standard prefix-
+    filtering approximation; near-dup pairs keep sharing plenty of rare
+    shingles). None = exact Jaccard, only safe on small corpora."""
     sh = doc_shingles(docs, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

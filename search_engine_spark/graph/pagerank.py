@@ -136,10 +136,9 @@ def write_popularity(spark, store, ranks: DataFrame) -> None:
     out = docs.drop("popularity").join(scaled, "doc_id", "left").withColumn(
         "popularity", F.coalesce(F.col("popularity"), F.lit(DEFAULT_POPULARITY))
     )
-    # rewrite via a temp dir: the source of the plan is the same parquet dir
+    # rewrite via a temp dir: the source of the plan is the same parquet dir.
+    # The swap goes through IndexStore (Iceberg equivalent: overwrite commit)
+    # so operator code never touches the filesystem directly.
     tmp = store.docs_path + "_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(store.docs_path)
-    shutil.move(tmp, store.docs_path)
+    store.replace_dir(tmp, store.docs_path)

@@ -42,6 +42,7 @@ def build_index(
     n_chunks: int = DEFAULT_N_CHUNKS,
     n_buckets: int = N_TERM_BUCKETS,
     resume: bool = True,
+    stem: bool = True,  # False -> no-stem analyzer (SQL-oracle-expressible)
     fail_after_chunk: int | None = None,  # test hook for resume tests
     verbose: bool = False,
 ) -> IndexStore:
@@ -64,7 +65,9 @@ def build_index(
     analyzed = None
     _cleanup: list = []
     if not (resume and store.stage_done("docs")):
-        analyzed = with_terms(assign_doc_ids(transcripts, cleanup=_cleanup)).persist()
+        analyzed = with_terms(
+            assign_doc_ids(transcripts, cleanup=_cleanup), stem=stem
+        ).persist()
         docs = (
             analyzed.withColumn("doc_len", F.size("terms"))
             .withColumn("content_hash", F.sha2(F.col("text"), 256))
@@ -96,14 +99,20 @@ def build_index(
     # This halves-plus the build's shuffle volume, which is the serial
     # resource (single disk locally, network fabric on a cluster).
     if not (resume and store.stage_done("postings")):
-        src = analyzed if analyzed is not None else with_terms(docs)
+        src = analyzed if analyzed is not None else with_terms(docs, stem=stem)
         # ONE python agg pass; the varbyte positions blob keeps the cached
         # rows compact (flat bytes, no boxed JVM int arrays)
         postings_all = build_postings(src).persist()
+        # tbucket partition dirs WITHOUT a repartition: the write stays
+        # shuffle-free (each analysis task writes its buckets sequentially
+        # thanks to the sort; file count bounded by tasks x present-buckets)
+        # and phrase queries get the same directory pruning postings have.
         (
             postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
-            .sortWithinPartitions("term")  # no shuffle; clusters row groups
-            .write.mode("overwrite")       # so term min/max pruning bites
+            .withColumn("tbucket", term_bucket_col(F.col("term"), n_buckets))
+            .sortWithinPartitions("tbucket", "term")  # clusters row groups
+            .write.mode("overwrite")                  # so term min/max bites
+            .partitionBy("tbucket")
             .parquet(store.positions_path)
         )
         postings_out = postings_all.drop("positions").withColumn(
@@ -148,6 +157,7 @@ def build_index(
                 "drange_span": int(drange_span),
                 "n_buckets": n_buckets,
                 "n_chunks": n_chunks,
+                "stem": stem,
                 "built_unix": time.time(),
             }
         )

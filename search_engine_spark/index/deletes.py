@@ -19,7 +19,6 @@ equivalent (same pattern as Iceberg delete files / tombstones):
 
 from __future__ import annotations
 
-import shutil
 import time
 from pathlib import Path
 
@@ -81,8 +80,7 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
     docs_live = store.docs(spark).join(tomb, "doc_id", "left_anti")
     tmp = store.docs_path + "_tmp"
     docs_live.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(store.docs_path)
-    shutil.move(tmp, store.docs_path)
+    store.replace_dir(tmp, store.docs_path)
 
     # postings (keep bucket layout)
     post_live = store.postings(spark).join(tomb, "doc_id", "left_anti")
@@ -93,15 +91,18 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
         .partitionBy("tbucket")
         .parquet(tmp)
     )
-    shutil.rmtree(store.postings_path)
-    shutil.move(tmp, store.postings_path)
+    store.replace_dir(tmp, store.postings_path)
 
-    # positions
+    # positions (keep the tbucket dir layout)
     pos_live = store.positions(spark).join(tomb, "doc_id", "left_anti")
     tmp = store.positions_path + "_tmp"
-    pos_live.sortWithinPartitions("term").write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(store.positions_path)
-    shutil.move(tmp, store.positions_path)
+    (
+        pos_live.sortWithinPartitions("tbucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp)
+    )
+    store.replace_dir(tmp, store.positions_path)
 
     # stats (exact recount — the reference's Indexer.java:744-764 semantics)
     docs = store.docs(spark)
@@ -120,8 +121,7 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
         .partitionBy("tbucket")
         .parquet(tmp)
     )
-    shutil.rmtree(store.term_stats_path)
-    shutil.move(tmp, store.term_stats_path)
+    store.replace_dir(tmp, store.term_stats_path)
 
     # segments: full re-encode into a single fresh chunk set
     seg_tmp = store.segments_path + "_tmp"
@@ -137,10 +137,8 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
         F.max("last_doc_id").alias("max_doc_id"),
     ).collect()[0]
     segs.unpersist()
-    shutil.rmtree(store.segments_path)
-    shutil.move(seg_tmp, store.segments_path)
-    if store.manifest_dir.exists():
-        shutil.rmtree(store.manifest_dir)
+    store.replace_dir(seg_tmp, store.segments_path)
+    store.remove_dir(str(store.manifest_dir))
     store.write_manifest(
         0,
         {
@@ -158,7 +156,7 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
             "completed_unix": time.time(),
         },
     )
-    shutil.rmtree(tombstones_path(store), ignore_errors=True)
+    store.remove_dir(tombstones_path(store))
     tomb.unpersist()
 
     cstats.update(

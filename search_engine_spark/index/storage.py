@@ -38,7 +38,10 @@ POSTINGS_DDL = (
     "doc_id long, term string, tf int, doc_len int, importance double, "
     "tbucket int"
 )
-POSITIONS_DDL = "term string, doc_id long, tf int, doc_len int, positions binary"
+POSITIONS_DDL = (
+    "term string, doc_id long, tf int, doc_len int, positions binary, "
+    "tbucket int"
+)
 TERM_STATS_DDL = "term string, df long, idf double, bm25_idf double, tbucket int"
 SEGMENTS_DDL = (
     "term string, drange long, df_local long, first_doc_id long, "

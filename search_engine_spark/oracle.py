@@ -80,6 +80,28 @@ def score_terms(oix: OracleIndex, terms: list[str]) -> dict[int, float]:
     return scores
 
 
+def score_terms_boosted(oix: OracleIndex, terms: list[str]) -> dict[int, float]:
+    """BM25 with the role-weight boost (the reference's in-title multiplier,
+    Ranker/ParallelRanker.java:86-104, transcripts analog): each term
+    contribution x ROLE_WEIGHTS[doc.role]."""
+    from .index.build import ROLE_WEIGHTS
+
+    qtf = Counter(terms)
+    dl = dict(zip(oix.docs["doc_id"], oix.docs["doc_len"]))
+    role = dict(zip(oix.docs["doc_id"], oix.docs["role"]))
+    scores: dict[int, float] = {}
+    for t in sorted(qtf):
+        plist = oix.postings.get(t)
+        if not plist:
+            continue
+        idf = bm25_idf(oix.n_docs, oix.df[t])
+        for doc_id, tf in plist.items():
+            w = ROLE_WEIGHTS.get(role[doc_id], 1.0)
+            s = qtf[t] * idf * bm25_impact(tf, dl[doc_id], oix.avgdl) * w
+            scores[doc_id] = scores.get(doc_id, 0.0) + s
+    return scores
+
+
 def topk(scores: dict[int, float], k: int) -> list[tuple[int, float]]:
     return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
 

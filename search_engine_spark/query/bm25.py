@@ -37,22 +37,30 @@ def score_expr(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
 
 
 def candidates_for_terms(
-    spark: SparkSession, store: IndexStore, terms: list[str]
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    with_importance: bool = False,
 ) -> DataFrame | None:
     """Partition-pruned posting scan for the query terms, joined (broadcast)
     with the per-term stats — the Spark analog of the reference's per-term
-    index point-lookups (``QueryProcessor.java:533``) + J1 union-merge."""
+    index point-lookups (``QueryProcessor.java:533``) + J1 union-merge.
+    ``with_importance`` additionally reads the stored role-weight column
+    (kept opt-in so the un-boosted path's scan stays column-pruned)."""
     if not terms:
         return None
     qtf = Counter(terms)
     uniq = sorted(qtf)
     buckets = sorted({term_bucket_py(t) for t in uniq})
 
+    cols = ["term", "doc_id", "tf", "doc_len"]
+    if with_importance:
+        cols.append("importance")
     postings = (
         store.postings(spark)
         .filter(F.col("tbucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(uniq))
-        .select("term", "doc_id", "tf", "doc_len")
+        .select(*cols)
     )
     stats = (
         store.term_stats(spark)
@@ -73,14 +81,24 @@ def bm25_topk(
     store: IndexStore,
     terms: list[str],
     k: int | None = 10,
+    boost: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score) for an analyzed term list, DataFrame path.
-    ``k=None`` returns the full scored candidate set (logical-op operand)."""
+    ``k=None`` returns the full scored candidate set (logical-op operand).
+
+    ``boost=True`` multiplies each term contribution by the stored role
+    weight (``index.build.ROLE_WEIGHTS`` — the transcripts analog of the
+    reference's in-title x2 boost, ``Ranker/ParallelRanker.java:86-104``).
+    The postings' ``importance`` column stores weight*tf, so the weight is
+    importance/tf."""
     cstats = store.corpus_stats()
-    cand = candidates_for_terms(spark, store, terms)
+    cand = candidates_for_terms(spark, store, terms, with_importance=boost)
     if cand is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    scored = cand.withColumn("term_score", score_expr(cstats["avgdl"]))
+    expr = score_expr(cstats["avgdl"])
+    if boost:
+        expr = expr * (F.col("importance") / F.col("tf"))
+    scored = cand.withColumn("term_score", expr)
     agg = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
     from ..index.deletes import live_filter
 
@@ -96,12 +114,15 @@ def tfidf_topk(
     terms: list[str],
     k: int = 10,
     popularity: float = 0.5,
+    boost: bool = False,
 ) -> DataFrame:
     """Reference-parity scoring path: 0.7 * sum(tf_norm * idf) + 0.3 * popularity
     (``Ranker/ParallelRanker.java:14-15,86-104``; tf = freq/len from
     ``Indexer.java:334``; idf = ln(N/(1+df)) from ``Indexer.java:384-388``).
-    The popularity prior defaults to the fixture's constant 0.5."""
-    cand = candidates_for_terms(spark, store, terms)
+    The popularity prior defaults to the fixture's constant 0.5.
+    ``boost=True`` multiplies by the stored role weight — the reference's
+    in-title boost (``ParallelRanker.java:86-104``) applied live."""
+    cand = candidates_for_terms(spark, store, terms, with_importance=boost)
     if cand is None:
         return spark.createDataFrame([], "doc_id long, score double")
     rel = (
@@ -109,6 +130,8 @@ def tfidf_topk(
         * (F.col("tf").cast("double") / F.col("doc_len"))
         * F.col("idf")
     )
+    if boost:
+        rel = rel * (F.col("importance") / F.col("tf"))
     from ..index.deletes import live_filter
 
     agg = (

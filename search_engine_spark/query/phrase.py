@@ -68,9 +68,14 @@ def phrase_matches(
     """
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
+    from ..index.build import term_bucket_py
+
+    uniq = sorted(set(terms))
+    buckets = sorted({term_bucket_py(t) for t in uniq})
     postings = (
         store.positions(spark)
-        .filter(F.col("term").isin(sorted(set(terms))))
+        .filter(F.col("tbucket").isin(buckets))  # directory pruning
+        .filter(F.col("term").isin(uniq))
         .select("term", "doc_id", "tf", "doc_len", "positions")
     )
     if len(terms) == 1:

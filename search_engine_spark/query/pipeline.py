@@ -81,9 +81,27 @@ def search(
     if not with_metadata:
         return topk
 
-    # enrich the k rows only: broadcast the top-k side of the join (J7/S6)
-    docs = store.docs(spark).select(
-        "doc_id", "conv_id", "turn_idx", "role", "ts", "text"
+    # enrich the k rows only (J7/S6). The k scored rows are materialized
+    # driver-side (they are tiny by construction) so the doc-registry probe
+    # carries a pushed doc_id IN (...) filter — parquet min/max row-group
+    # skipping prunes the scan instead of reading the whole registry for k
+    # rows; the join side is the broadcast k-row relation as before.
+    top_rows = topk.collect()
+    if not top_rows:
+        return spark.createDataFrame(
+            [],
+            "rank int, doc_id long, score double, conv_id string, "
+            "turn_idx int, role string, ts timestamp, snippet string",
+        )
+    ids = [int(r["doc_id"]) for r in top_rows]
+    topk = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in top_rows],
+        "doc_id long, score double",
+    )
+    docs = (
+        store.docs(spark)
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "conv_id", "turn_idx", "role", "ts", "text")
     )
     enriched = docs.join(F.broadcast(topk), "doc_id", "inner")
     raw_tokens = tokenize(pq.raw.replace('"', " "))

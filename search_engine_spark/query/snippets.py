@@ -39,17 +39,28 @@ def _window(text: str, hit: int) -> tuple[int, int]:
     return start, end
 
 
+def window_spans(text: str, query_tokens: list[str]) -> list[tuple[str, int, int]]:
+    """Raw (term, start, end) context-window spans BEFORE merging: one per
+    query token's first occurrence (the _window arithmetic incl. sentence
+    snapping, Indexer.java:272-287). Exposed separately so the span math has
+    a SQL-expressible oracle (__spark_entry__: ``snippet_spans``); merging/
+    ranking/assembly are covered by pytest golden tests."""
+    low = text.lower()
+    out = []
+    for tok in query_tokens:
+        p = low.find(tok.lower())
+        if p >= 0:
+            s, e = _window(text, p)
+            out.append((tok, s, e))
+    return out
+
+
 def extract_windows(text: str, query_tokens: list[str]) -> list[str]:
     """Candidate context windows: one per query token's first occurrence,
     deduplicated/merged when they overlap, ranked complete-sentence-first
     then longer (the reference's snippet sort, Indexer.java:374-379), best
     MAX_WINDOWS kept."""
-    low = text.lower()
-    spans: list[tuple[int, int]] = []
-    for tok in query_tokens:
-        p = low.find(tok.lower())
-        if p >= 0:
-            spans.append(_window(text, p))
+    spans = [(s, e) for _, s, e in window_spans(text, query_tokens)]
     if not spans:
         return []
     # merge overlapping spans

@@ -87,7 +87,7 @@ def append_batch(
     ids = assign_doc_ids(batch_df, cleanup=cleanup).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base)
     )
-    analyzed = with_terms(ids).persist()
+    analyzed = with_terms(ids, stem=cstats.get("stem", True)).persist()
     cleanup.append(analyzed)
     docs = (
         analyzed.withColumn("doc_len", F.size("terms"))
@@ -103,8 +103,10 @@ def append_batch(
     stage = store.staging_dir(f"{prefix}positions")
     (
         postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
-        .sortWithinPartitions("term")
+        .withColumn("tbucket", term_bucket_col(F.col("term"), n_buckets))
+        .sortWithinPartitions("tbucket", "term")
         .write.mode("overwrite")
+        .partitionBy("tbucket")
         .parquet(stage)
     )
     store.publish(stage, store.positions_path, prefix)

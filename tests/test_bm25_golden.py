@@ -75,6 +75,39 @@ def test_wand_identical_to_df_path_many_k(spark, index_store):
         ]
 
 
+@pytest.mark.parametrize(
+    "query",
+    [GOLDEN_QUERIES[0], GOLDEN_QUERIES[1], GOLDEN_QUERIES[6]],
+)
+def test_golden_query_role_boost(spark, index_store, oracle_index, query):
+    """boost=True applies the stored role weight live (reference A8/A9:
+    in-title x2 -> role weights, ParallelRanker.java:86-104) and must match
+    the independently-boosted oracle; it must also actually change the
+    ranking vs the un-boosted path on a role-mixed corpus."""
+    from search_engine_spark.analysis import analyze_query
+    from search_engine_spark.oracle import score_terms_boosted
+
+    terms = analyze_query(query)
+    exp = topk(score_terms_boosted(oracle_index, terms), K)
+    got = bm25_topk(spark, index_store, terms, k=K, boost=True)
+    _assert_matches_oracle(got.collect(), exp, query)
+
+
+def test_role_boost_changes_scores(spark, index_store, oracle_index):
+    from search_engine_spark.analysis import analyze_query
+
+    terms = analyze_query(HEAD_TERMS[0])
+    plain = {r["doc_id"]: r["score"]
+             for r in bm25_topk(spark, index_store, terms, k=50).collect()}
+    boosted = {r["doc_id"]: r["score"]
+               for r in bm25_topk(spark, index_store, terms, k=50, boost=True).collect()}
+    common = set(plain) & set(boosted)
+    assert common
+    ratios = {round(boosted[d] / plain[d], 9) for d in common}
+    # user turns x3, tool x2, assistant x1 — all three weights must appear
+    assert ratios >= {1.0, 2.0, 3.0}
+
+
 def test_search_enriched_output(spark, index_store):
     rows = search(spark, index_store, HEAD_TERMS[0], k=5).collect()
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))

@@ -48,6 +48,31 @@ def test_jaccard_pairs_exact_values(spark, docs):
     assert (0, 2) in rows and 0.3 < rows[(0, 2)] < 0.7
 
 
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A shingle shared by all docs makes the uncapped self-join quadratic;
+    the df cap drops it while true near-dups (sharing rare shingles) keep
+    their pair."""
+    from search_engine_spark.functions.dedup import jaccard_pairs
+
+    def uw(i):  # unique all-alpha word
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        s = ""
+        i += 1
+        while i:
+            s += letters[i % 26]
+            i //= 26
+        return "zz" + s
+
+    rows = [(i, f"common word {uw(2 * i)} {uw(2 * i + 1)}") for i in range(60)]
+    rows[1] = (1, rows[0][1])  # docs 0/1: exact dup pair
+    docs60 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = jaccard_pairs(docs60, n=2, threshold=0.01).count()
+    assert uncapped == 60 * 59 // 2  # hot bigram -> every pair materializes
+    capped = jaccard_pairs(docs60, n=2, threshold=0.5, max_df=10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in capped] == [(0, 1, 1.0)]
+
+
 def test_simhash_properties(spark, docs):
     from search_engine_spark.functions.dedup import simhash64, simhash_dup_pairs
 

@@ -52,6 +52,34 @@ def test_metadata_join_is_broadcast(spark, index_store):
     assert "BroadcastHashJoin" in plan
 
 
+def test_positions_scan_prunes_partitions(spark, index_store):
+    """Phrase queries must get the same directory pruning postings have:
+    positions/ is partitioned by tbucket and phrase_matches filters on it."""
+    from search_engine_spark.analysis import analyze_query
+    from search_engine_spark.query.phrase import phrase_matches
+
+    df = phrase_matches(spark, index_store, analyze_query("spark index"))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "tbucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_enrichment_probe_pushes_doc_id_filter(spark, index_store):
+    """Metadata enrichment must not scan the whole doc registry for k rows:
+    the probe side carries a pushed doc_id IN filter (row-group skipping)."""
+    from search_engine_spark.query.pipeline import search
+
+    df = search(spark, index_store, "spark", k=5)
+    plan = _plan(df)
+    scans = [p for p in plan.split("Scan parquet") if "/docs]" in p]
+    assert scans, plan
+    assert any(
+        "In(doc_id" in s.split("PushedFilters", 1)[1].split("\n", 1)[0]
+        for s in scans
+        if "PushedFilters" in s
+    ), plan
+
+
 def test_wand_segment_scan_prunes_by_term(spark, index_store):
     from search_engine_spark.index.build import term_bucket_py
 
