@@ -5,10 +5,12 @@
 training-data ops); each callable takes (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — DuckDB twins. Oracle-checked queries use the no-stem
 analyzer variant (DuckDB cannot load its Snowball extension offline);
-Porter-stemmer parity and the full stemmed engine (index artifacts, WAND,
-resume) are covered by ``python -m pytest -x -q`` against the pure-Python
-oracle instead. Engine-only entries (simhash, LSH-ANN, multimodal decode,
-stemmed transcript search) deliberately omit oracle SQL -> rows-only check.
+Porter-stemmer parity is covered by ``python -m pytest -x -q`` against the
+pure-Python oracle. The FULL index engine (segments, block-max WAND, role
+boost) is hash-checked via a no-stem build over the documents table
+(``index_bm25_*``); the only remaining rows-only entries are the
+Porter-stemmed transcript searches (``transcripts_bm25_*``), whose
+rank-identity gate lives in tests/test_bm25_golden.py.
 """
 
 from __future__ import annotations
@@ -273,6 +275,75 @@ FROM afin a CROSS JOIN q
 WHERE a.cid IN (SELECT cid FROM probe)
 ORDER BY cosine DESC, a.vec_id LIMIT {k}"""
     )
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    """DuckDB twin of simhash64 + simhash_dup_pairs: 64-bit majority vote
+    over md5(token) bits (bit j of the first 8 digest bytes big-endian,
+    extracted from the hex nibbles), 4x16-bit band blocking, hamming via
+    bit_count(xor). UBIGINT throughout (sign-free)."""
+    pows = ", ".join(f"({j}, {1 << j})" for j in range(64))
+    return f"""
+WITH bits(j, pw) AS (VALUES {pows}),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t FROM documents
+),
+th AS (SELECT doc_id, md5(t) AS hx FROM tok),
+tb AS (
+  SELECT doc_id, b.j, b.pw,
+         CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(16 - b.j // 4 AS INTEGER), 1)) - 1) >> (b.j % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM th CROSS JOIN bits b
+),
+acc AS (SELECT doc_id, j, any_value(pw) AS pw, sum(s) AS a FROM tb GROUP BY doc_id, j),
+shx AS (SELECT doc_id, CAST(sum(CASE WHEN a > 0 THEN pw ELSE 0 END) AS UBIGINT) AS sim FROM acc GROUP BY doc_id),
+shf AS (SELECT d.doc_id, coalesce(s.sim, CAST(0 AS UBIGINT)) AS sim FROM documents d LEFT JOIN shx s USING (doc_id)),
+bands AS (
+  SELECT doc_id, sim, i, (sim >> CAST(16 * i AS UBIGINT)) & CAST(65535 AS UBIGINT) AS key
+  FROM shf, unnest([0, 1, 2, 3]) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sa, b.sim AS sb
+  FROM bands a JOIN bands b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _lsh_sql(k: int, n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of build_lsh_index + lsh_topk_indexed: the seeded random
+    hyperplanes are INLINED as literals (repr round-trips float64 exactly),
+    signatures recomputed relationally, and the query's bucket filtered.
+    dim=64 matches every testdata embeddings table (verified)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    vals = ",\n".join(
+        f"({j}, {p + 1}, {planes[j, p]!r})"
+        for j in range(n_planes)
+        for p in range(dim)
+    )
+    return f"""
+WITH plane(j, pos, val) AS (VALUES {vals}),
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ex AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM e),
+dots AS (
+  SELECT ex.vec_id, p.j, sum(ex.v * p.val) AS d
+  FROM ex JOIN plane p ON p.pos = ex.pos
+  GROUP BY ex.vec_id, p.j
+),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+q AS (SELECT e.emb AS qe, s.bucket AS qb FROM e JOIN sig s USING (vec_id) WHERE e.vec_id = 0)
+SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 6) AS cosine
+FROM e JOIN sig s USING (vec_id) CROSS JOIN q
+WHERE s.bucket = q.qb
+ORDER BY cosine DESC, e.vec_id LIMIT {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -563,7 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n=2, threshold=0.5, max_df=100
         )
     )
-    out["simhash_pairs"] = q(  # rows-only (bit-level, not SQL-expressible)
+    out["simhash_pairs"] = q(
         lambda s, d: dedup.simhash_dup_pairs(_docs(s, d), max_hamming=10)
     )
 
@@ -590,7 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, _ann_index(s, d, "ivf16"), _qvec(s, d), k=K, n_probe=4
         )
     )
-    out["lsh_ann_topk"] = q(  # rows-only (seeded random hyperplanes)
+    out["lsh_ann_topk"] = q(
         lambda s, d: vector_index.lsh_topk_indexed(
             s, _ann_index(s, d, "lsh8"), _qvec(s, d), k=K
         )
@@ -605,12 +676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_meta"] = q(
         lambda s, d: multimodal.as_media_table(_docs(s, d)).drop("media")
     )
-    out["media_features"] = q(  # rows-only (fake decoder)
+    out["media_features"] = q(
         lambda s, d: multimodal.extract_features(
             multimodal.as_media_table(_docs(s, d))
         ).select("doc_id", "media_type", F.round(F.element_at("features", 1), 6).alias("f0"))
     )
-    out["frame_sample"] = q(  # rows-only
+    out["frame_sample"] = q(
         lambda s, d: multimodal.frame_sample(
             multimodal.as_media_table(_docs(s, d))
         )
@@ -976,6 +1047,8 @@ WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)
 ORDER BY cosine DESC, a.vec_id LIMIT {K}
 """
     sql["ivf_kmeans_topk"] = _ivf_kmeans_sql(K)
+    sql["lsh_ann_topk"] = _lsh_sql(K)
+    sql["simhash_pairs"] = _simhash_sql(10)
 
     sql["media_meta"] = """
 SELECT doc_id,
@@ -988,6 +1061,27 @@ FROM documents
 
     sql["snippet_spans"] = _snippet_spans_sql()
     sql["highlight_topk"] = _highlight_sql()
+
+    # fake-decoder parity: feature k = mean(sha256 digest bytes 4k..4k+3)/255
+    # (multimodal.decode_media). sha256(text) hashes UTF-8 bytes in both
+    # engines; the testdata text is pure ASCII so char ops == byte ops.
+    sql["media_features"] = """
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(1, 5), i ->
+  (strpos('0123456789abcdef', substr(hx, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16 +
+  (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
+  FROM h)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       round((bytes[1] + bytes[2] + bytes[3] + bytes[4]) / 4.0 / 255.0, 6) AS f0
+FROM b
+"""
+    sql["frame_sample"] = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx, CAST(idx * 64 AS BIGINT) AS "offset",
+       substr(sha256(substr(text, CAST(idx * 64 + 1 AS INTEGER), 64)), 1, 16) AS frame_sig
+FROM m, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS t(idx)
+"""
 
     sql["pagerank"] = _pagerank_sql(10)
 

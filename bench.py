@@ -70,11 +70,37 @@ def run_level(cores: int, corpus_full, corpus_cal, corpus_warm, ix_dir) -> dict:
             "--corpus-cal", corpus_cal,
             "--corpus-warm", corpus_warm,
             "--ix-dir", ix_dir,
-            "--full-repeats", "1",
+            "--full-repeats", "2",  # min-of-2: shared-host noise dominates
+                                    # single measurements (see host_window)
         ],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _probe_work(secs: float) -> float:
+    import hashlib
+
+    h = b"x" * 64
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        for _ in range(5000):
+            h = hashlib.sha256(h).digest()
+        n += 5000
+    return n / (time.time() - t0)
+
+
+def host_probe(n_procs: int = 8, secs: float = 1.5) -> float:
+    """Sustained-CPU microbenchmark (multiprocessing sha256, M hashes/sec):
+    recorded with every bench run so throughput rows are comparable across
+    host-contention windows (healthy ~19.7M on this VM; degraded windows
+    drop to ~10-14M with identical builds 2-3x slower)."""
+    import multiprocessing as mp
+
+    with mp.Pool(n_procs) as p:
+        rates = p.map(_probe_work, [secs] * n_procs)
+    return round(sum(rates) / 1e6, 1)
 
 
 def main() -> None:
@@ -98,8 +124,10 @@ def main() -> None:
     spark.stop()
     n_full = sizes[corpus_full]
 
+    probe_before = host_probe()
     hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm, "/tmp/bench_ix_hi")
     lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm, "/tmp/bench_ix_lo")
+    probe_after = host_probe()
 
     thr_hi, thr_lo = n_full / hi["t_full"], n_full / lo["t_full"]
     ratio = HI_CPUS / LO_CPUS
@@ -148,6 +176,11 @@ def main() -> None:
             "efficiency": round(efficiency, 3),
         },
         "query_p95_sec": round(p95, 3),
+        "host_window": {
+            "sha256_mhs_before": probe_before,
+            "sha256_mhs_after": probe_after,
+            "healthy_mhs": 19.7,
+        },
         "index": {
             "n_postings": sum(mf["n_postings"] for mf in manifests),
             "segment_bytes": sum(mf["bytes"] for mf in manifests),

@@ -58,16 +58,14 @@ def _decode_explode(postings: DataFrame) -> DataFrame:
     )
 
 
-def phrase_matches(
+def decoded_positions(
     spark: SparkSession, store: IndexStore, terms: list[str]
 ) -> DataFrame:
-    """Docs containing the exact phrase -> (doc_id, phrase_count, doc_len).
-
-    ``phrase_count`` = number of distinct start positions (the reference's
-    matchCount, ``QueryProcessor.java:259-268``).
-    """
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
+    """Pruned scan + varbyte decode of the positional postings for a term
+    set -> (term, doc_id, doc_len, pos). Exposed so a logical query over two
+    phrases can decode the UNION of both sides' terms ONCE and share the
+    materialized rows (pipeline.search) instead of running two scan+decode
+    pipelines."""
     from ..index.build import term_bucket_py
 
     uniq = sorted(set(terms))
@@ -78,10 +76,34 @@ def phrase_matches(
         .filter(F.col("term").isin(uniq))
         .select("term", "doc_id", "tf", "doc_len", "positions")
     )
-    if len(terms) == 1:
+    return _decode_explode(postings)
+
+
+def phrase_matches(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """Docs containing the exact phrase -> (doc_id, phrase_count, doc_len).
+
+    ``phrase_count`` = number of distinct start positions (the reference's
+    matchCount, ``QueryProcessor.java:259-268``). ``exploded`` optionally
+    supplies an already-decoded (term, doc_id, doc_len, pos) superset (see
+    ``decoded_positions``)."""
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
+    if exploded is None and len(terms) == 1:
+        # single term: tf IS the match count — serve straight from the
+        # compact postings row, no decode needed
+        from ..index.build import term_bucket_py
         from ..index.deletes import live_filter
 
-        only = postings.filter(F.col("term") == terms[0])
+        only = (
+            store.positions(spark)
+            .filter(F.col("tbucket") == term_bucket_py(terms[0]))
+            .filter(F.col("term") == terms[0])
+        )
         return live_filter(
             spark,
             store,
@@ -91,8 +113,18 @@ def phrase_matches(
                 "doc_len",
             ),
         )
+    if exploded is None:
+        exploded = decoded_positions(spark, store, terms)
+    if len(terms) == 1:
+        from ..index.deletes import live_filter
 
-    exploded = _decode_explode(postings)
+        m = (
+            exploded.filter(F.col("term") == terms[0])
+            .groupBy("doc_id", "doc_len")
+            .agg(F.count("*").cast("long").alias("phrase_count"))
+            .select("doc_id", "phrase_count", "doc_len")
+        )
+        return live_filter(spark, store, m)
     # start-position candidates from term 0; each further term i must have a
     # position at start + i  (QueryProcessor.java:259-266)
     parts = []
@@ -119,13 +151,14 @@ def phrase_topk(
     store: IndexStore,
     terms: list[str],
     k: int | None = 10,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """BM25-score the phrase as a synthetic term (the reference builds a
     synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
     275-355,459-472``): tf = phrase_count, df = |matching docs|."""
     from ..index.codec import BM25_B, BM25_K1
 
-    matches = phrase_matches(spark, store, terms)
+    matches = phrase_matches(spark, store, terms, exploded=exploded)
     cstats = store.corpus_stats()
     n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
     # df of the synthetic phrase term: broadcast a 1-row count onto the

@@ -26,9 +26,10 @@ from .wand import bm25_topk_wand
 def _score_side(
     spark: SparkSession, store: IndexStore, pq: ParsedQuery, engine: str,
     k: int | None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     if pq.kind == "phrase":
-        return phrase_topk(spark, store, pq.terms or [], k=k)
+        return phrase_topk(spark, store, pq.terms or [], k=k, exploded=exploded)
     if engine == "wand" and k is not None:
         return bm25_topk_wand(spark, store, pq.terms or [], k=k)
     return bm25_topk(spark, store, pq.terms or [], k=k)
@@ -57,8 +58,25 @@ def search(
     pq = parse_query(query)
     fetch_k = k if not blend_popularity else max(4 * k, 50)
     if pq.kind == "logical":
-        left = _score_side(spark, store, pq.left, engine, k=None)
-        right = _score_side(spark, store, pq.right, engine, k=None)
+        # both sides phrases (the reference's Q4 shape): decode the UNION of
+        # their terms ONCE and share the materialized rows — two independent
+        # sides would each re-scan + re-decode the positional index.
+        # localCheckpoint (not persist): query-scoped, GC-reclaimed, no
+        # CacheManager entry leaked per query.
+        exploded = None
+        l_terms, r_terms = (pq.left.terms or []), (pq.right.terms or [])
+        if (
+            pq.left.kind == "phrase" and pq.right.kind == "phrase"
+            and (len(l_terms) > 1 or len(r_terms) > 1)
+            and (l_terms or r_terms)
+        ):
+            from .phrase import decoded_positions
+
+            exploded = decoded_positions(
+                spark, store, l_terms + r_terms
+            ).localCheckpoint(eager=True)
+        left = _score_side(spark, store, pq.left, engine, k=None, exploded=exploded)
+        right = _score_side(spark, store, pq.right, engine, k=None, exploded=exploded)
         topk = combine(left, right, pq.op, k=fetch_k)
     else:
         topk = _score_side(spark, store, pq, engine, k=fetch_k)
