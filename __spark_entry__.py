@@ -311,21 +311,18 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
-def _lsh_sql(k: int, n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
-    """DuckDB twin of build_lsh_index + lsh_topk_indexed: the seeded random
-    hyperplanes are INLINED as literals (repr round-trips float64 exactly),
-    signatures recomputed relationally, and the query's bucket filtered.
-    dim=64 matches every testdata embeddings table (verified)."""
+def _lsh_plane_values(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
     import numpy as np
 
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
-    vals = ",\n".join(
+    return ",\n".join(
         f"({j}, {p + 1}, {planes[j, p]!r})"
         for j in range(n_planes)
         for p in range(dim)
     )
-    return f"""
-WITH plane(j, pos, val) AS (VALUES {vals}),
+
+
+_LSH_SIG_CTE = """
 e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 ex AS (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM e),
 dots AS (
@@ -337,7 +334,33 @@ sig AS MATERIALIZED (
   SELECT vec_id,
          sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
   FROM dots GROUP BY vec_id
-),
+)
+"""
+
+
+def _emb_dup_sql(threshold: float) -> str:
+    """DuckDB twin of similarity.embedding_dup_pairs: same inlined planes,
+    bucket-equal candidate pairs, exact cosine filter."""
+    return f"""
+WITH plane(j, pos, val) AS (VALUES {_lsh_plane_values()}),
+{_LSH_SIG_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {threshold}
+"""
+
+
+def _lsh_sql(k: int) -> str:
+    """DuckDB twin of build_lsh_index + lsh_topk_indexed: the seeded random
+    hyperplanes are INLINED as literals (repr round-trips float64 exactly),
+    signatures recomputed relationally, and the query's bucket filtered.
+    dim=64 matches every testdata embeddings table (verified)."""
+    return f"""
+WITH plane(j, pos, val) AS (VALUES {_lsh_plane_values()}),
+{_LSH_SIG_CTE},
 q AS (SELECT e.emb AS qe, s.bucket AS qb FROM e JOIN sig s USING (vec_id) WHERE e.vec_id = 0)
 SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 6) AS cosine
 FROM e JOIN sig s USING (vec_id) CROSS JOIN q
@@ -636,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["simhash_pairs"] = q(
         lambda s, d: dedup.simhash_dup_pairs(_docs(s, d), max_hamming=10)
+    )
+    out["embedding_dup_pairs"] = q(
+        lambda s, d: similarity.embedding_dup_pairs(_emb(s, d), threshold=0.4)
     )
 
     # --- text stats (training-data ops) ------------------------------------
@@ -1049,6 +1075,7 @@ ORDER BY cosine DESC, a.vec_id LIMIT {K}
     sql["ivf_kmeans_topk"] = _ivf_kmeans_sql(K)
     sql["lsh_ann_topk"] = _lsh_sql(K)
     sql["simhash_pairs"] = _simhash_sql(10)
+    sql["embedding_dup_pairs"] = _emb_dup_sql(0.4)
 
     sql["media_meta"] = """
 SELECT doc_id,

@@ -161,6 +161,76 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup op, not top-k):
+    (vec_a, vec_b, cosine) with cosine >= threshold among pairs sharing a
+    random-hyperplane LSH bucket.
+
+    Scale shape: the candidate join is keyed on the bucket (like
+    minhash_lsh_pairs' banded join) — cost scales with bucket collisions,
+    never all-pairs. High-cosine pairs almost always share the bucket at
+    modest n_planes (P[agree] = (1 - theta/pi)^n_planes); the exact cosine
+    is then verified JVM-side on the candidates only."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    planes = _lsh_planes_matrix(n_planes, int(dim_row["d"]), seed)
+    b_planes = emb.sparkSession.sparkContext.broadcast(planes)
+    pows = 1 << np.arange(n_planes)
+
+    def sig(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sigs = ((M @ b_planes.value.T) > 0).astype(np.uint8) @ pows
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": pdf[vec_col],
+                    "bucket": sigs.astype(np.int32),
+                }
+            )
+
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        sig, schema="vec_id long, embedding array<float>, bucket int"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        cand.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _lsh_planes_matrix(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Seeded random hyperplanes (shared with vector_index.build_lsh_index
+    and the inlined-literal SQL oracle)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -165,7 +165,9 @@ def ivf_topk_indexed(
 # ---------------------------------------------------------------------------
 
 def _lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
-    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+    from .similarity import _lsh_planes_matrix  # one definition everywhere
+
+    return _lsh_planes_matrix(n_planes, dim, seed)
 
 
 def build_lsh_index(

@@ -102,6 +102,27 @@ def test_lsh_bucket_scan_prunes_partitions(spark, qvec, lsh_dir):
     assert "bucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
 
 
+def test_embedding_dup_pairs_finds_planted_dups(spark):
+    """Planted near-duplicates (vector + tiny noise -> cosine ~0.9999) must
+    survive the LSH bucket blocking and the cosine threshold; random pairs
+    must not."""
+    from search_engine_spark.functions.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((100, 16))
+    M[50] = M[0] + 1e-4 * rng.standard_normal(16)  # near-dup of 0
+    M[51] = M[1] + 1e-4 * rng.standard_normal(16)  # near-dup of 1
+    emb = spark.createDataFrame(
+        [(i, M[i].astype(np.float32).tolist()) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in embedding_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 50) in pairs and (1, 51) in pairs
+    assert all(c >= 0.95 for c in pairs.values())
+    assert len(pairs) == 2  # random vectors don't reach 0.95
+
+
 def test_kmeans_ivf_index_roundtrip(spark, emb, qvec, tmp_path_factory):
     from search_engine_spark.functions.similarity import (
         cosine_topk,
