@@ -181,7 +181,17 @@ def build_lsh_index(
     """Signature pass -> vectors partitioned by hyperplane-sign bucket.
     The plane matrix is regenerable from (n_planes, dim, seed) recorded in
     the sidecar — queries never rescan the corpus."""
-    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty corpus: write an empty-but-valid index
+        emb.sparkSession.createDataFrame(
+            [], "vec_id long, embedding array<float>, bucket int"
+        ).write.mode("overwrite").parquet(str(Path(index_dir) / "buckets"))
+        _meta_path(index_dir).parent.mkdir(parents=True, exist_ok=True)
+        _meta_path(index_dir).write_text(
+            json.dumps({"kind": "lsh", "n_planes": n_planes, "dim": 0, "seed": seed})
+        )
+        return
+    dim = int(dim_row["d"])
     planes = _lsh_planes(n_planes, dim, seed)
     b_planes = emb.sparkSession.sparkContext.broadcast(planes)
     pows = 1 << np.arange(n_planes)
@@ -224,6 +234,8 @@ def lsh_topk_indexed(
     """Partition-pruned LSH query: hash the query driver-side, scan only its
     bucket directory."""
     meta = json.loads(_meta_path(index_dir).read_text())
+    if meta["dim"] == 0:  # empty index
+        return spark.createDataFrame([], "vec_id long, cosine double")
     planes = _lsh_planes(meta["n_planes"], meta["dim"], meta["seed"])
     qv = np.asarray(qvec, dtype=np.float64)
     qsig = int(((planes @ qv) > 0).astype(np.uint8) @ (1 << np.arange(meta["n_planes"])))

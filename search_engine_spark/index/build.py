@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import analyze
-from .codec import BM25_K1, BM25_B, encode_postings
+from .codec import BM25_K1, BM25_B
 
 # Role weights: transcripts analog of title x3 / header x2 / body x1
 # (Indexer/Indexer.java:36-38): user turns are the "title" of a conversation
@@ -90,6 +90,8 @@ def assign_doc_ids(
     # replans the exchange per action (recomputed sampling / coalesced
     # partitions) and the two passes can disagree -> duplicate docIDs.
     # On a real cluster this would be a DISK_ONLY persist or a checkpoint.
+    # (Serialized levels were measured slower end-to-end: the ser/deser CPU
+    # on every access outweighed any GC relief.)
     ranged = ranged.persist()
     if cleanup is not None:
         cleanup.append(ranged)
@@ -169,34 +171,79 @@ def build_postings(docs_analyzed: DataFrame) -> DataFrame:
     if "terms" not in docs_analyzed.columns:
         docs_analyzed = with_terms(docs_analyzed)
 
-    from .codec import varbyte_encode
+    from .codec import varbyte_encode_with_sizes
 
     def agg_stream(batches):
         import numpy as np
 
-        for pdf in batches:
-            out = {
-                "doc_id": [], "term": [], "tf": [], "positions": [],
-                "doc_len": [], "importance": [],
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int32"),
+                "positions": pd.Series(dtype="object"),
+                "doc_len": pd.Series(dtype="int32"),
+                "importance": pd.Series(dtype="float64"),
             }
-            for doc_id, role, terms in zip(
-                pdf["doc_id"], pdf["role"], pdf["terms"]
-            ):
-                w = ROLE_WEIGHTS.get(role, 1.0)
-                dl = len(terms)
-                pos_by_term: dict[str, list[int]] = {}
-                for pos, t in enumerate(terms):
-                    pos_by_term.setdefault(t, []).append(pos)
-                for t, positions in pos_by_term.items():
-                    out["doc_id"].append(doc_id)
-                    out["term"].append(t)
-                    out["tf"].append(len(positions))
-                    out["positions"].append(
-                        varbyte_encode(np.asarray(positions, dtype=np.int64))
-                    )
-                    out["doc_len"].append(dl)
-                    out["importance"].append(w * len(positions))
-            yield pd.DataFrame(out)
+        )
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # Fully vectorized per-batch aggregation (no per-token Python):
+            # flatten every doc's token stream, factorize terms to int codes
+            # (C hash), stable-sort by (doc_id, code) so group slicing gives
+            # ascending in-doc positions, then varbyte-encode ALL positions
+            # in ONE call and hand each (doc, term) group its byte span.
+            # The previous per-doc dict + per-posting encode spent ~70% of
+            # the whole index build in Python/numpy call overhead.
+            terms_col = pdf["terms"]
+            counts = np.fromiter(
+                (len(t) for t in terms_col), dtype=np.int64, count=n
+            )
+            total = int(counts.sum())
+            if total == 0:
+                yield empty
+                continue
+            doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+            dl_rep = np.repeat(counts, counts)
+            w = np.fromiter(
+                (ROLE_WEIGHTS.get(r, 1.0) for r in pdf["role"]),
+                dtype=np.float64, count=n,
+            )
+            w_rep = np.repeat(w, counts)
+            doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
+                doc_starts, counts
+            )
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in terms_col]
+            )
+            codes, uniques = pd.factorize(flat)
+            order = np.lexsort((codes, doc_rep))  # stable -> positions asc
+            d_s = doc_rep[order]
+            c_s = codes[order]
+            change = np.flatnonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [total]))
+            tf = (ends - starts).astype(np.int32)
+            enc, sizes = varbyte_encode_with_sizes(pos_flat[order])
+            byte_offs = np.concatenate(([0], np.cumsum(sizes)))
+            b0 = byte_offs[starts].tolist()
+            b1 = byte_offs[ends].tolist()
+            mv = memoryview(enc)
+            positions_out = [mv[a:b].tobytes() for a, b in zip(b0, b1)]
+            uarr = np.asarray(uniques, dtype=object)
+            yield pd.DataFrame(
+                {
+                    "doc_id": d_s[starts],
+                    "term": uarr[c_s[starts]],
+                    "tf": tf,
+                    "positions": positions_out,
+                    "doc_len": dl_rep[order][starts].astype(np.int32),
+                    "importance": w_rep[order][starts] * tf,
+                }
+            )
 
     return docs_analyzed.select("doc_id", "role", "terms").mapInPandas(
         agg_stream, schema=POSTINGS_SCHEMA
@@ -273,37 +320,106 @@ def encode_segments(
 
     def encode_stream(batches):
         def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Vectorized group encoder, byte-identical to per-group
+            ``encode_postings`` (tested): varbyte streams concatenate, so
+            gaps/tfs/dls for the WHOLE sorted batch are encoded in one call
+            each; per-block metadata (last docID, max impact, stream
+            offsets) falls out of ``reduceat`` over block boundaries; the
+            block directory is a structured array serialized per group.
+            The previous per-group encode spent the stage in tiny-array
+            numpy call overhead (Zipf tail = millions of 1-posting groups)."""
+            from .codec import (
+                BLOCK_SIZE,
+                MAGIC,
+                _HEADER,
+                varbyte_encode_with_sizes,
+            )
+
             terms = pdf["term"].to_numpy()
             dranges = pdf["drange"].to_numpy(np.int64)
             ids = pdf["doc_id"].to_numpy(np.int64)
             tfs = pdf["tf"].to_numpy(np.int64)
             dls = pdf["doc_len"].to_numpy(np.int64)
+            n_rows = len(pdf)
             # group boundaries on the sorted (term, drange) stream
             change = np.flatnonzero(
                 (terms[1:] != terms[:-1]) | (dranges[1:] != dranges[:-1])
             )
             starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(pdf)]))
+            ends = np.concatenate((change + 1, [n_rows]))
             imp_all = tfs * (BM25_K1 + 1.0) / (
                 tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
             )
-            rows = {k: [] for k in (
-                "term", "drange", "tbucket", "df_local", "first_doc_id",
-                "last_doc_id", "max_impact", "postings",
-            )}
-            for s, e in zip(starts, ends):
-                term = terms[s]
-                rows["term"].append(term)
-                rows["drange"].append(int(dranges[s]))
-                rows["tbucket"].append(term_bucket_py(term, n_buckets))
-                rows["df_local"].append(int(e - s))
-                rows["first_doc_id"].append(int(ids[s]))
-                rows["last_doc_id"].append(int(ids[e - 1]))
-                rows["max_impact"].append(float(imp_all[s:e].max()))
-                rows["postings"].append(
-                    encode_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl)
+            # docID deltas: global diff, reset to 0 at each group start
+            # (codec: first delta = 0 relative to the group's base docID)
+            gaps = ids - np.concatenate(([0], ids[:-1]))
+            gaps[starts] = 0
+            gap_buf, gap_sz = varbyte_encode_with_sizes(gaps)
+            tf_buf, tf_sz = varbyte_encode_with_sizes(tfs)
+            dl_buf, dl_sz = varbyte_encode_with_sizes(dls)
+            gap_mv, tf_mv, dl_mv = map(memoryview, (gap_buf, tf_buf, dl_buf))
+            gap_off = np.concatenate(([0], np.cumsum(gap_sz)))
+            tf_off = np.concatenate(([0], np.cumsum(tf_sz)))
+            dl_off = np.concatenate(([0], np.cumsum(dl_sz)))
+
+            # block boundaries: every BLOCK_SIZE postings within each group
+            g_len = ends - starts
+            nblk = (g_len + BLOCK_SIZE - 1) // BLOCK_SIZE
+            blk_group = np.repeat(np.arange(len(starts)), nblk)
+            blk_first = np.concatenate(([0], np.cumsum(nblk)))[:-1]
+            blk_idx = np.arange(int(nblk.sum())) - blk_first[blk_group]
+            blk_lo = starts[blk_group] + blk_idx * BLOCK_SIZE
+            blk_hi = np.minimum(blk_lo + BLOCK_SIZE, ends[blk_group])
+            blk_max = np.maximum.reduceat(imp_all, blk_lo)
+            dir_arr = np.empty(
+                blk_lo.size,
+                dtype=np.dtype(
+                    [("ld", "<i8"), ("imp", "<f4"), ("go", "<i4"),
+                     ("to", "<i4"), ("do", "<i4"), ("n", "<i4")],
+                    align=False,
+                ),
+            )
+            dir_arr["ld"] = ids[blk_hi - 1]
+            dir_arr["imp"] = blk_max.astype(np.float32)
+            # stream end-offsets RELATIVE to the group's start
+            dir_arr["go"] = gap_off[blk_hi] - gap_off[starts[blk_group]]
+            dir_arr["to"] = tf_off[blk_hi] - tf_off[starts[blk_group]]
+            dir_arr["do"] = dl_off[blk_hi] - dl_off[starts[blk_group]]
+            dir_arr["n"] = blk_hi - blk_lo
+            dir_bytes = dir_arr.tobytes()
+            DIR_SZ = dir_arr.dtype.itemsize
+            dir_mv = memoryview(dir_bytes)
+            blk_cum = np.concatenate(([0], np.cumsum(nblk)))
+
+            # per-group segment max impact (for the WAND term upper bound)
+            grp_max = np.maximum.reduceat(imp_all, starts)
+
+            postings_out = []
+            for gi in range(len(starts)):
+                s, e = int(starts[gi]), int(ends[gi])
+                header = _HEADER.pack(MAGIC, e - s, int(ids[s]), int(nblk[gi]))
+                postings_out.append(
+                    header
+                    + dir_mv[blk_cum[gi] * DIR_SZ:blk_cum[gi + 1] * DIR_SZ].tobytes()
+                    + gap_mv[gap_off[s]:gap_off[e]].tobytes()
+                    + tf_mv[tf_off[s]:tf_off[e]].tobytes()
+                    + dl_mv[dl_off[s]:dl_off[e]].tobytes()
                 )
-            return pd.DataFrame(rows)
+            term_vals = terms[starts]
+            return pd.DataFrame(
+                {
+                    "term": term_vals,
+                    "drange": dranges[starts],
+                    "tbucket": [
+                        term_bucket_py(t, n_buckets) for t in term_vals
+                    ],
+                    "df_local": (ends - starts).astype(np.int64),
+                    "first_doc_id": ids[starts],
+                    "last_doc_id": ids[ends - 1],
+                    "max_impact": grp_max,
+                    "postings": postings_out,
+                }
+            )
 
         carry: pd.DataFrame | None = None
         for pdf in batches:

@@ -32,6 +32,13 @@ from .storage import IndexStore
 
 DEFAULT_DRANGE_SPAN = 1 << 16  # postings per term per range shard bound
 DEFAULT_N_CHUNKS = 4
+# positions/ bucket count: same 64 as postings/ — measured trade-off: 16
+# buckets quartered the file-commit overhead of the shuffle-free write but
+# made every phrase query decode 4x more rows (pruning 1/16 instead of
+# 1/64), which dominates at large corpora. File count = tasks x buckets is
+# the price of the shuffle-free write; production compaction (Iceberg
+# rewriteDataFiles) owns that, not the build.
+N_POS_BUCKETS = 64
 
 
 def build_index(
@@ -109,7 +116,7 @@ def build_index(
         # and phrase queries get the same directory pruning postings have.
         (
             postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
-            .withColumn("tbucket", term_bucket_col(F.col("term"), n_buckets))
+            .withColumn("tbucket", term_bucket_col(F.col("term"), N_POS_BUCKETS))
             .sortWithinPartitions("tbucket", "term")  # clusters row groups
             .write.mode("overwrite")                  # so term min/max bites
             .partitionBy("tbucket")
@@ -156,6 +163,7 @@ def build_index(
                 "avgdl": corpus_avgdl,
                 "drange_span": int(drange_span),
                 "n_buckets": n_buckets,
+                "n_pos_buckets": N_POS_BUCKETS,
                 "n_chunks": n_chunks,
                 "stem": stem,
                 "built_unix": time.time(),
@@ -175,8 +183,15 @@ def build_index(
         )
         segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets).persist()
         chunk_path = f"{store.segments_path}/chunk={chunk}"
-        # tbucket partition dirs -> term-lookup queries prune whole buckets
-        segs.write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
+        # tbucket partition dirs -> term-lookup queries prune whole buckets.
+        # The encoded rows are small compressed blobs, so clustering them by
+        # bucket first is a cheap shuffle that caps files at n_buckets per
+        # chunk instead of tasks x n_buckets (file commits dominated the
+        # fixed build cost).
+        (
+            segs.repartition(n_buckets, "tbucket")
+            .write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
+        )
         tick(f"chunk {chunk} encode+write")
         # lineage + metrics over the cached encoded rows (A11 analog);
         # written AFTER the chunk's _SUCCESS so chunk_done => both exist

@@ -38,9 +38,18 @@ BM25_B = 0.75
 
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized varbyte encode of a non-negative int64 array."""
+    return varbyte_encode_with_sizes(values)[0]
+
+
+def varbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode returning (buffer, bytes-per-value).
+    Because the encoding is per-value independent, slicing the buffer at
+    cumulative size boundaries yields exactly ``varbyte_encode(slice)`` —
+    this is what lets build_postings encode a whole Arrow batch's positions
+    in ONE call and hand each posting its byte span."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -63,7 +72,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         is_last = nbytes[mask] == (b + 1)
         out[idx] = chunk | np.where(is_last, 0, 0x80).astype(np.uint8)
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def varbyte_decode(buf: bytes, n: int) -> np.ndarray:

@@ -126,7 +126,10 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
     # segments: full re-encode into a single fresh chunk set
     seg_tmp = store.segments_path + "_tmp"
     segs = encode_segments(postings, avgdl, drange_span, n_buckets).persist()
-    segs.write.mode("overwrite").partitionBy("tbucket").parquet(seg_tmp + "/chunk=0")
+    (
+        segs.repartition(n_buckets, "tbucket")
+        .write.mode("overwrite").partitionBy("tbucket").parquet(seg_tmp + "/chunk=0")
+    )
     m = segs.agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),

@@ -68,8 +68,9 @@ def decoded_positions(
     pipelines."""
     from ..index.build import term_bucket_py
 
+    n_pos = _n_pos_buckets(store)
     uniq = sorted(set(terms))
-    buckets = sorted({term_bucket_py(t) for t in uniq})
+    buckets = sorted({term_bucket_py(t, n_pos) for t in uniq})
     postings = (
         store.positions(spark)
         .filter(F.col("tbucket").isin(buckets))  # directory pruning
@@ -77,6 +78,13 @@ def decoded_positions(
         .select("term", "doc_id", "tf", "doc_len", "positions")
     )
     return _decode_explode(postings)
+
+
+def _n_pos_buckets(store: IndexStore) -> int:
+    """Positions bucket count from corpus stats (coarser than postings';
+    older indexes predate the field and used the postings count)."""
+    cstats = store.corpus_stats()
+    return int(cstats.get("n_pos_buckets", cstats.get("n_buckets", 64)))
 
 
 def phrase_matches(
@@ -101,7 +109,7 @@ def phrase_matches(
 
         only = (
             store.positions(spark)
-            .filter(F.col("tbucket") == term_bucket_py(terms[0]))
+            .filter(F.col("tbucket") == term_bucket_py(terms[0], _n_pos_buckets(store)))
             .filter(F.col("term") == terms[0])
         )
         return live_filter(

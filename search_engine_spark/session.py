@@ -18,6 +18,15 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Shuffle spill dir: prefer tmpfs when present. In local mode every
+    # task shares ONE virtual disk, so shuffle I/O serializes across cores —
+    # an artifact a multi-executor cluster doesn't have (per-node disks).
+    # tmpfs keeps the parallelism measurement about the job, not the VM's
+    # single block device. Override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+    )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -30,6 +39,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.local.dir", local_dir)
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     for k, v in (extra_conf or {}).items():

@@ -100,10 +100,11 @@ def append_batch(
 
     postings_all = build_postings(analyzed).persist()
     cleanup.append(postings_all)
+    n_pos_buckets = int(cstats.get("n_pos_buckets", n_buckets))
     stage = store.staging_dir(f"{prefix}positions")
     (
         postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
-        .withColumn("tbucket", term_bucket_col(F.col("term"), n_buckets))
+        .withColumn("tbucket", term_bucket_col(F.col("term"), n_pos_buckets))
         .sortWithinPartitions("tbucket", "term")
         .write.mode("overwrite")
         .partitionBy("tbucket")
@@ -144,7 +145,10 @@ def append_batch(
     # chunk number pinned -> overwrite is retry-safe)
     segs = encode_segments(compact, avgdl, drange_span, n_buckets).persist()
     chunk_path = f"{store.segments_path}/chunk={new_chunk}"
-    segs.write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
+    (
+        segs.repartition(n_buckets, "tbucket")
+        .write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
+    )
     m = segs.agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),

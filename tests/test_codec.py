@@ -77,3 +77,33 @@ def test_compression_beats_raw():
     dls = rng.integers(5, 60, ids.size)
     buf = encode_postings(ids, tfs, dls, 30.0)
     assert len(buf) < ids.size * 24 * 0.3  # >3x smaller than raw int64x3
+
+
+def test_vectorized_segment_encode_byte_identical(spark):
+    """encode_segments' batch kernel must produce byte-identical segments to
+    per-group encode_postings (the concatenation property of varbyte)."""
+    import numpy as np
+
+    from search_engine_spark.index.build import encode_segments
+    from search_engine_spark.index.codec import encode_postings
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # several groups incl. a multi-block one (300 postings > BLOCK_SIZE)
+    specs = [("alpha", 0, 300), ("alpha", 1, 5), ("beta", 0, 1), ("gamma", 2, 130)]
+    expected = {}
+    for term, dr, cnt in specs:
+        base = dr * 1000
+        ids = np.sort(rng.choice(np.arange(base, base + 999), cnt, replace=False))
+        tfs = rng.integers(1, 9, cnt)
+        dls = rng.integers(5, 50, cnt)
+        expected[(term, dr)] = encode_postings(ids, tfs, dls, avgdl=20.0)
+        rows += [
+            (term, int(i), int(t), int(d))
+            for i, t, d in zip(ids.tolist(), tfs.tolist(), dls.tolist())
+        ]
+    df = spark.createDataFrame(rows, "term string, doc_id long, tf int, doc_len int")
+    segs = encode_segments(df, avgdl=20.0, drange_span=1000, num_partitions=2).collect()
+    assert len(segs) == len(specs)
+    for r in segs:
+        assert bytes(r["postings"]) == expected[(r["term"], r["drange"])]

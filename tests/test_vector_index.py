@@ -123,6 +123,18 @@ def test_embedding_dup_pairs_finds_planted_dups(spark):
     assert len(pairs) == 2  # random vectors don't reach 0.95
 
 
+def test_lsh_index_empty_corpus(spark, tmp_path_factory):
+    from search_engine_spark.functions.vector_index import (
+        build_lsh_index,
+        lsh_topk_indexed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    d = str(tmp_path_factory.mktemp("lshe"))
+    build_lsh_index(empty, d)
+    assert lsh_topk_indexed(spark, d, [1.0, 0.0], k=5).count() == 0
+
+
 def test_kmeans_ivf_index_roundtrip(spark, emb, qvec, tmp_path_factory):
     from search_engine_spark.functions.similarity import (
         cosine_topk,
