@@ -7,105 +7,203 @@ contain p+i-1). Positions are ordinals over the surviving analyzed stream
 (``Indexer.java:231-247``), so "fast key" matches even when a stopword stood
 between the two words in the raw text — semantics preserved here.
 
-Spark expression: explode positions and equi-join on (doc_id, pos - offset):
-each term i contributes rows keyed by (doc_id, p - i); an exact phrase
-occurrence is a key present for all n terms. This is a pure shuffle-join
-plan — no UDF — so Catalyst can reorder/broadcast as sizes dictate.
+Spark plan (the 100 TB shape):
+
+1. **candidate intersection on the COMPACT postings** (tbucket-pruned; the
+   fat positions column never read): docs containing ALL phrase terms —
+   the reference's doc-set intersection, done before any position is
+   touched.
+2. **one hash repartition by doc_id** of the candidates' position rows
+   (still varbyte blobs — nothing inflated crosses the shuffle).
+3. **vectorized adjacency kernel** (Arrow-batched mapInPandas): decode every
+   blob in the batch with ONE varbyte call (streams concatenate), build
+   int64 keys ``doc_id << 21 | pos``, and chain ``np.isin`` set-membership
+   per phrase offset — no per-doc Python, no exploded-position rows, no
+   (doc_id, start) JVM join cascade. Output is one row per matching doc.
+
+An earlier revision exploded positions into rows and equi-joined on
+(doc_id, pos - i); correct, but at a 3.9M-turn index the explode+join
+pipeline measured ~9.5 s per phrase query vs ~2-4 s for this plan.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.storage import IndexStore
 
+# positions are ordinals within a doc; doc_len < 2^21 leaves 42 bits of
+# docID headroom in the composite int64 key
+_POS_BITS = 21
 
-def _decode_explode(postings: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, doc_len, positions:binary) -> one row per position
-    (term, doc_id, doc_len, pos), vectorized varbyte decode per Arrow batch."""
-    import numpy as np
-    import pandas as pd
 
-    from ..index.codec import varbyte_decode
+def _n_pos_buckets(store: IndexStore) -> int:
+    """Positions bucket count from corpus stats (older indexes predate the
+    field and used the postings count)."""
+    cstats = store.corpus_stats()
+    return int(cstats.get("n_pos_buckets", cstats.get("n_buckets", 64)))
 
-    def decode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            tfs = pdf["tf"].to_numpy()
-            pos = (
-                np.concatenate(
-                    [
-                        varbyte_decode(bytes(b), int(t))
-                        for b, t in zip(pdf["positions"], tfs)
-                    ]
-                )
-                if len(pdf)
-                else np.empty(0, dtype=np.int64)
-            )
-            yield pd.DataFrame(
-                {
-                    "term": np.repeat(pdf["term"].to_numpy(), tfs),
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), tfs),
-                    "doc_len": np.repeat(pdf["doc_len"].to_numpy(), tfs),
-                    "pos": pos,
-                }
-            )
 
-    return postings.mapInPandas(
-        decode, schema="term string, doc_id long, doc_len int, pos int"
+def candidate_docs(
+    spark: SparkSession, store: IndexStore, terms: list[str]
+) -> DataFrame:
+    """Docs containing ALL the given terms — computed on the COMPACT
+    postings family (tbucket-pruned). The classic IR order of operations:
+    intersect doc sets first, fetch/decode positions only for survivors."""
+    from ..index.build import term_bucket_py
+
+    uniq = sorted(set(terms))
+    buckets = sorted({term_bucket_py(t) for t in uniq})
+    return (
+        store.postings(spark)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select("doc_id")
     )
 
 
-def decoded_positions(
-    spark: SparkSession, store: IndexStore, terms: list[str]
+def positions_for(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Pruned scan + varbyte decode of the positional postings for a term
-    set -> (term, doc_id, doc_len, pos). Exposed so a logical query over two
-    phrases can decode the UNION of both sides' terms ONCE and share the
-    materialized rows (pipeline.search) instead of running two scan+decode
-    pipelines."""
+    """Pruned scan of the positional rows for a term set, optionally
+    restricted (left-semi) to candidate doc_ids — blobs stay encoded."""
     from ..index.build import term_bucket_py
 
     n_pos = _n_pos_buckets(store)
     uniq = sorted(set(terms))
     buckets = sorted({term_bucket_py(t, n_pos) for t in uniq})
-    postings = (
+    rows = (
         store.positions(spark)
         .filter(F.col("tbucket").isin(buckets))  # directory pruning
         .filter(F.col("term").isin(uniq))
         .select("term", "doc_id", "tf", "doc_len", "positions")
     )
-    return _decode_explode(postings)
+    if candidates is not None:
+        rows = rows.join(candidates, "doc_id", "left_semi")
+    return rows
 
 
-def _n_pos_buckets(store: IndexStore) -> int:
-    """Positions bucket count from corpus stats (coarser than postings';
-    older indexes predate the field and used the postings count)."""
-    cstats = store.corpus_stats()
-    return int(cstats.get("n_pos_buckets", cstats.get("n_buckets", 64)))
+def _match_kernel(terms: list[str]):
+    """mapInPandas kernel over doc_id-partitioned position rows: emits
+    (doc_id, phrase_count, doc_len) for docs containing the exact phrase.
+    Adjacency is fully vectorized; a doc's rows never split across workers
+    (hash partition on doc_id) and batch splits are handled by carrying the
+    trailing doc's rows into the next batch."""
+    uniq = sorted(set(terms))
+    n_uniq = len(uniq)
+    code_of = {t: i for i, t in enumerate(uniq)}
+    phrase_codes = [code_of[t] for t in terms]
+
+    from ..index.codec import varbyte_decode
+
+    def match(batches):
+        def process(pdf: pd.DataFrame):
+            # a shared pos_rows superset (logical query) may carry the OTHER
+            # side's terms — restrict to this phrase's terms first
+            pdf = pdf[pdf["term"].isin(code_of)]
+            if len(pdf) == 0:
+                return None
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["doc_len"].to_numpy(np.int64)
+            codes = pdf["term"].map(code_of).to_numpy(np.int64)
+            # docs with all terms present: rows are (term, doc) unique, so
+            # a doc qualifies iff it has n_uniq rows here
+            order = np.argsort(ids, kind="stable")
+            ids_s, tfs_s, codes_s, dls_s = (
+                ids[order], tfs[order], codes[order], dls[order],
+            )
+            uniq_ids, counts = np.unique(ids_s, return_counts=True)
+            ok_docs = uniq_ids[counts == n_uniq]
+            keep = np.isin(ids_s, ok_docs)
+            if not keep.any():
+                return None
+            ids_k, tfs_k, codes_k, dls_k = (
+                ids_s[keep], tfs_s[keep], codes_s[keep], dls_s[keep],
+            )
+            # ONE varbyte decode for the whole batch (streams concatenate);
+            # rows must be concatenated in the kept order
+            blob = b"".join(
+                bytes(b) for b, k in zip(pdf["positions"].iloc[order], keep) if k
+            )
+            pos = varbyte_decode(blob, int(tfs_k.sum()))
+            row_of = np.repeat(np.arange(ids_k.size), tfs_k)
+            key = (ids_k[row_of] << _POS_BITS) | pos
+            kcode = codes_k[row_of]
+            per_code = [key[kcode == c] for c in range(n_uniq)]
+            # chain: start positions from term 0, each next term must have
+            # a position at start + i (same doc -> same key block)
+            starts = per_code[phrase_codes[0]]
+            for i, c in enumerate(phrase_codes[1:], start=1):
+                if starts.size == 0:
+                    break
+                starts = starts[np.isin(starts + i, per_code[c])]
+            if starts.size == 0:
+                return None
+            mdoc, mcnt = np.unique(starts >> _POS_BITS, return_counts=True)
+            dl_map_ids = ids_k[np.concatenate(([True], ids_k[1:] != ids_k[:-1]))]
+            dl_map_dls = dls_k[np.concatenate(([True], ids_k[1:] != ids_k[:-1]))]
+            dl_idx = np.searchsorted(dl_map_ids, mdoc)
+            return pd.DataFrame(
+                {
+                    "doc_id": mdoc,
+                    "phrase_count": mcnt.astype(np.int64),
+                    "doc_len": dl_map_dls[dl_idx].astype(np.int64),
+                }
+            )
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last = pdf["doc_id"].iloc[-1]
+            tail = pdf["doc_id"] == last
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                out = process(body)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = process(carry)
+            if out is not None:
+                yield out
+
+    return match
 
 
 def phrase_matches(
     spark: SparkSession,
     store: IndexStore,
     terms: list[str],
-    exploded: DataFrame | None = None,
+    pos_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Docs containing the exact phrase -> (doc_id, phrase_count, doc_len).
 
     ``phrase_count`` = number of distinct start positions (the reference's
-    matchCount, ``QueryProcessor.java:259-268``). ``exploded`` optionally
-    supplies an already-decoded (term, doc_id, doc_len, pos) superset (see
-    ``decoded_positions``)."""
+    matchCount, ``QueryProcessor.java:259-268``). ``pos_rows`` optionally
+    supplies an already-pruned position-row superset (a logical query over
+    two phrases scans/restricts ONCE for the union of both sides —
+    pipeline.search)."""
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
-    if exploded is None and len(terms) == 1:
+    from ..index.deletes import live_filter
+
+    if pos_rows is None and len(terms) == 1:
         # single term: tf IS the match count — serve straight from the
         # compact postings row, no decode needed
         from ..index.build import term_bucket_py
-        from ..index.deletes import live_filter
 
         only = (
             store.positions(spark)
@@ -121,37 +219,19 @@ def phrase_matches(
                 "doc_len",
             ),
         )
-    if exploded is None:
-        exploded = decoded_positions(spark, store, terms)
-    if len(terms) == 1:
-        from ..index.deletes import live_filter
-
-        m = (
-            exploded.filter(F.col("term") == terms[0])
-            .groupBy("doc_id", "doc_len")
-            .agg(F.count("*").cast("long").alias("phrase_count"))
-            .select("doc_id", "phrase_count", "doc_len")
+    if pos_rows is None:
+        pos_rows = positions_for(
+            spark, store, terms, candidates=candidate_docs(spark, store, terms)
         )
-        return live_filter(spark, store, m)
-    # start-position candidates from term 0; each further term i must have a
-    # position at start + i  (QueryProcessor.java:259-266)
-    parts = []
-    for i, t in enumerate(terms):
-        cols = ["doc_id", "doc_len"] if i == 0 else ["doc_id"]
-        part = (
-            exploded.filter(F.col("term") == t)
-            .select(*cols, (F.col("pos") - F.lit(i)).alias("start"))
+    n_parts = spark.sparkContext.defaultParallelism
+    matched = (
+        pos_rows.repartition(n_parts, "doc_id")
+        .mapInPandas(
+            _match_kernel(terms),
+            schema="doc_id long, phrase_count long, doc_len long",
         )
-        parts.append(part)
-    joined = parts[0]
-    for p in parts[1:]:
-        joined = joined.join(p, ["doc_id", "start"], "inner")
-    from ..index.deletes import live_filter
-
-    matches = joined.groupBy("doc_id", "doc_len").agg(
-        F.countDistinct("start").alias("phrase_count")
-    ).select("doc_id", "phrase_count", "doc_len")
-    return live_filter(spark, store, matches)
+    )
+    return live_filter(spark, store, matched)
 
 
 def phrase_topk(
@@ -159,14 +239,14 @@ def phrase_topk(
     store: IndexStore,
     terms: list[str],
     k: int | None = 10,
-    exploded: DataFrame | None = None,
+    pos_rows: DataFrame | None = None,
 ) -> DataFrame:
     """BM25-score the phrase as a synthetic term (the reference builds a
     synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
     275-355,459-472``): tf = phrase_count, df = |matching docs|."""
     from ..index.codec import BM25_B, BM25_K1
 
-    matches = phrase_matches(spark, store, terms, exploded=exploded)
+    matches = phrase_matches(spark, store, terms, pos_rows=pos_rows)
     cstats = store.corpus_stats()
     n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
     # df of the synthetic phrase term: broadcast a 1-row count onto the

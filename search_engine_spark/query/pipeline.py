@@ -26,10 +26,10 @@ from .wand import bm25_topk_wand
 def _score_side(
     spark: SparkSession, store: IndexStore, pq: ParsedQuery, engine: str,
     k: int | None,
-    exploded: DataFrame | None = None,
+    pos_rows: DataFrame | None = None,
 ) -> DataFrame:
     if pq.kind == "phrase":
-        return phrase_topk(spark, store, pq.terms or [], k=k, exploded=exploded)
+        return phrase_topk(spark, store, pq.terms or [], k=k, pos_rows=pos_rows)
     if engine == "wand" and k is not None:
         return bm25_topk_wand(spark, store, pq.terms or [], k=k)
     return bm25_topk(spark, store, pq.terms or [], k=k)
@@ -58,25 +58,32 @@ def search(
     pq = parse_query(query)
     fetch_k = k if not blend_popularity else max(4 * k, 50)
     if pq.kind == "logical":
-        # both sides phrases (the reference's Q4 shape): decode the UNION of
-        # their terms ONCE and share the materialized rows — two independent
-        # sides would each re-scan + re-decode the positional index.
-        # localCheckpoint (not persist): query-scoped, GC-reclaimed, no
-        # CacheManager entry leaked per query.
-        exploded = None
+        # both sides phrases (the reference's Q4 shape): scan + candidate-
+        # restrict the positional rows ONCE for the union of both sides'
+        # terms and share the materialized rows — two independent sides
+        # would each re-scan the positional index. localCheckpoint (not
+        # persist): query-scoped, GC-reclaimed, no CacheManager entry
+        # leaked per query.
+        pos_rows = None
         l_terms, r_terms = (pq.left.terms or []), (pq.right.terms or [])
         if (
             pq.left.kind == "phrase" and pq.right.kind == "phrase"
             and (len(l_terms) > 1 or len(r_terms) > 1)
             and (l_terms or r_terms)
         ):
-            from .phrase import decoded_positions
+            from .phrase import candidate_docs, positions_for
 
-            exploded = decoded_positions(
-                spark, store, l_terms + r_terms
+            # keep only docs that can match EITHER side (union of the
+            # per-side all-terms candidate sets, from the compact postings)
+            sides = [t for t in (l_terms, r_terms) if t]
+            cand = candidate_docs(spark, store, sides[0])
+            for t in sides[1:]:
+                cand = cand.union(candidate_docs(spark, store, t)).distinct()
+            pos_rows = positions_for(
+                spark, store, l_terms + r_terms, candidates=cand
             ).localCheckpoint(eager=True)
-        left = _score_side(spark, store, pq.left, engine, k=None, exploded=exploded)
-        right = _score_side(spark, store, pq.right, engine, k=None, exploded=exploded)
+        left = _score_side(spark, store, pq.left, engine, k=None, pos_rows=pos_rows)
+        right = _score_side(spark, store, pq.right, engine, k=None, pos_rows=pos_rows)
         topk = combine(left, right, pq.op, k=fetch_k)
     else:
         topk = _score_side(spark, store, pq, engine, k=fetch_k)
