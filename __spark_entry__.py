@@ -435,9 +435,9 @@ def _transcript_store(spark: SparkSession):
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.index.storage import IndexStore
 
-    # _v2: positions/ gained tbucket partition dirs — stale memoized indexes
-    # from older layouts must not be reused
-    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v2")
+    # _v3: unified postings/positions table — stale memoized indexes from
+    # older layouts must not be reused
+    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v3")
     store = IndexStore(ix_dir)
     if not store.corpus_stats_path.exists():
         # exclusive-create lock: queries() callables may run concurrently
@@ -545,7 +545,7 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     from search_engine_spark.index.storage import IndexStore
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v1_{h}"
+    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v2_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():

@@ -32,13 +32,6 @@ from .storage import IndexStore
 
 DEFAULT_DRANGE_SPAN = 1 << 16  # postings per term per range shard bound
 DEFAULT_N_CHUNKS = 4
-# positions/ bucket count: same 64 as postings/ — measured trade-off: 16
-# buckets quartered the file-commit overhead of the shuffle-free write but
-# made every phrase query decode 4x more rows (pruning 1/16 instead of
-# 1/64), which dominates at large corpora. File count = tasks x buckets is
-# the price of the shuffle-free write; production compaction (Iceberg
-# rewriteDataFiles) owns that, not the build.
-N_POS_BUCKETS = 64
 
 
 def build_index(
@@ -98,42 +91,30 @@ def build_index(
     n_dranges = n_docs // drange_span + 1
     n_chunks = max(1, min(n_chunks, n_dranges))
 
-    # -- stage 2: flat postings + positional family -----------------------
-    # The scored postings (compact: no arrays) take the bucket-layout
-    # shuffle; the positional family (fat array<int> column, phrase-query
-    # only) is written WITHOUT a shuffle straight from the analysis tasks —
-    # Parquet term min/max row-group pruning serves the (rarer) phrase path.
-    # This halves-plus the build's shuffle volume, which is the serial
-    # resource (single disk locally, network fabric on a cluster).
+    # -- stage 2: ONE unified postings table --------------------------------
+    # (term, doc_id, tf, doc_len, importance, positions) partitioned by
+    # tbucket, written shuffle-free (sort + partitionBy straight from the
+    # analysis tasks). Parquet is columnar, so the scored (DataFrame/WAND/
+    # stats) readers never touch the fat positions blob (column pruning —
+    # asserted in tests/test_plans.py) while phrase queries read it from the
+    # same files. Round 1 kept a separate compact copy without the blob;
+    # that second full write + its bucket shuffle measured ~50 s/3.9M turns
+    # and did not scale with cores — pure write amplification.
     if not (resume and store.stage_done("postings")):
         src = analyzed if analyzed is not None else with_terms(docs, stem=stem)
-        # ONE python agg pass; the varbyte positions blob keeps the cached
-        # rows compact (flat bytes, no boxed JVM int arrays)
-        postings_all = build_postings(src).persist()
-        # tbucket partition dirs WITHOUT a repartition: the write stays
-        # shuffle-free (each analysis task writes its buckets sequentially
-        # thanks to the sort; file count bounded by tasks x present-buckets)
-        # and phrase queries get the same directory pruning postings have.
+        # NOT persisted: the vectorized agg recomputes from the cached
+        # analyzed docs in ~10 s at sf0.1x4, while materializing 59M
+        # object-heavy rows into the block manager cost ~25 s and scaled
+        # poorly
+        postings_all = build_postings(src)
         (
-            postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
-            .withColumn("tbucket", term_bucket_col(F.col("term"), N_POS_BUCKETS))
+            postings_all
+            .withColumn("tbucket", term_bucket_col(F.col("term"), n_buckets))
             .sortWithinPartitions("tbucket", "term")  # clusters row groups
             .write.mode("overwrite")                  # so term min/max bites
             .partitionBy("tbucket")
-            .parquet(store.positions_path)
-        )
-        postings_out = postings_all.drop("positions").withColumn(
-            "tbucket", term_bucket_col(F.col("term"), n_buckets)
-        )
-        # repartition on the partition column first: each write task then
-        # holds whole buckets -> n_buckets files, not tasks x buckets
-        (
-            postings_out.repartition(n_buckets, "tbucket")
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
             .parquet(store.postings_path)
         )
-        postings_all.unpersist()
         if analyzed is not None:
             analyzed.unpersist()
         for df_ in _cleanup:
@@ -163,7 +144,6 @@ def build_index(
                 "avgdl": corpus_avgdl,
                 "drange_span": int(drange_span),
                 "n_buckets": n_buckets,
-                "n_pos_buckets": N_POS_BUCKETS,
                 "n_chunks": n_chunks,
                 "stem": stem,
                 "built_unix": time.time(),

@@ -82,27 +82,16 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
     docs_live.write.mode("overwrite").parquet(tmp)
     store.replace_dir(tmp, store.docs_path)
 
-    # postings (keep bucket layout)
+    # unified postings table (keep the bucket-dir, term-sorted layout)
     post_live = store.postings(spark).join(tomb, "doc_id", "left_anti")
     tmp = store.postings_path + "_tmp"
     (
-        post_live.repartition(n_buckets, "tbucket")
+        post_live.sortWithinPartitions("tbucket", "term")
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(tmp)
     )
     store.replace_dir(tmp, store.postings_path)
-
-    # positions (keep the tbucket dir layout)
-    pos_live = store.positions(spark).join(tomb, "doc_id", "left_anti")
-    tmp = store.positions_path + "_tmp"
-    (
-        pos_live.sortWithinPartitions("tbucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(tmp)
-    )
-    store.replace_dir(tmp, store.positions_path)
 
     # stats (exact recount — the reference's Indexer.java:744-764 semantics)
     docs = store.docs(spark)

@@ -7,9 +7,12 @@ abstraction. Layout under ``index_dir``:
 
     docs/                 doc registry: doc_id, conv_id, turn_idx, role, text,
                           tool, ts, doc_len, content_hash
-    postings/             flat postings (term, doc_id, tf, positions, doc_len,
-                          importance, tbucket) partitioned by tbucket — the
-                          DataFrame-path index + positional (phrase) family
+    postings/             ONE flat postings table (term, doc_id, tf,
+                          positions, doc_len, importance) partitioned by
+                          tbucket: the DataFrame-path index, the stats
+                          source, AND the positional (phrase) family —
+                          columnar storage means scored readers never pay
+                          for the positions blob (column pruning)
     segments/chunk=N/     compressed block-max segments (codec.py) — the WAND
                           path; chunked by drange for checkpoint-resume
     stats/terms/          (term, df, idf, bm25_idf, tbucket) part. by tbucket
@@ -34,14 +37,13 @@ DOCS_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts timestamp, doc_id long, doc_len int, content_hash string"
 )
+# ONE unified postings table serves the scored paths (which never read the
+# fat positions blob — parquet column pruning) and the phrase path
 POSTINGS_DDL = (
-    "doc_id long, term string, tf int, doc_len int, importance double, "
-    "tbucket int"
+    "doc_id long, term string, tf int, positions binary, doc_len int, "
+    "importance double, tbucket int"
 )
-POSITIONS_DDL = (
-    "term string, doc_id long, tf int, doc_len int, positions binary, "
-    "tbucket int"
-)
+POSITIONS_DDL = POSTINGS_DDL
 TERM_STATS_DDL = "term string, df long, idf double, bm25_idf double, tbucket int"
 SEGMENTS_DDL = (
     "term string, drange long, df_local long, first_doc_id long, "
@@ -76,7 +78,8 @@ class IndexStore:
 
     @property
     def positions_path(self) -> str:
-        return str(self.dir / "positions")
+        # the positional family lives in the unified postings table
+        return self.postings_path
 
     @property
     def segments_path(self) -> str:
@@ -111,7 +114,8 @@ class IndexStore:
         return _read_or_empty(spark, self.postings_path, POSTINGS_DDL)
 
     def positions(self, spark: SparkSession) -> DataFrame:
-        """Positional family (phrase queries): term, doc_id, positions."""
+        """Positional view (phrase queries) — same unified table; kept as a
+        named reader so call sites say what they mean."""
         return _read_or_empty(spark, self.positions_path, POSITIONS_DDL)
 
     def segments(self, spark: SparkSession) -> DataFrame:

@@ -36,6 +36,20 @@ def score_expr(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
     return F.col("qtf") * F.col("bm25_idf") * impact
 
 
+def _term_sorted_sum() -> F.Column:
+    """Deterministic per-doc score: term contributions added in SORTED term
+    order (SURVEY §7 hard part (a)). A plain F.sum accumulates in row-
+    encounter order, which depends on the physical layout — float addition
+    is not associative, so true ties in the oracle could differ in the last
+    bits here and flip the doc_id tie-break. Query terms are few, so the
+    collect_list array is tiny."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("term_score")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term_score"],
+    )
+
+
 def candidates_for_terms(
     spark: SparkSession,
     store: IndexStore,
@@ -99,7 +113,7 @@ def bm25_topk(
     if boost:
         expr = expr * (F.col("importance") / F.col("tf"))
     scored = cand.withColumn("term_score", expr)
-    agg = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+    agg = scored.groupBy("doc_id").agg(_term_sorted_sum().alias("score"))
     from ..index.deletes import live_filter
 
     agg = live_filter(spark, store, agg)
@@ -138,7 +152,7 @@ def tfidf_topk(
         cand.withColumn("term_score", rel)
         .groupBy("doc_id")
         .agg(
-            (0.7 * F.sum("term_score") + 0.3 * F.lit(popularity)).alias("score")
+            (0.7 * _term_sorted_sum() + 0.3 * F.lit(popularity)).alias("score")
         )
     )
     # tombstoned docs are anti-filtered at serve time, like every query path

@@ -121,9 +121,11 @@ def wand_topk_segments(
     disjoint) — raw ``bytes`` or ``(bytes, bound_scale)`` (see
     ``_seg_entries``). Returns [(doc_id, score)] sorted by (-score, doc_id)."""
     iters: list[_TermIter] = []
-    for term, bufs in term_segments.items():
+    # term-sorted iterator order + stable sorts below -> per-doc term
+    # contributions sum in sorted-term order (matches the DataFrame path)
+    for term in sorted(term_segments):
         w = term_weights[term]
-        for buf, scale in _seg_entries(bufs):
+        for buf, scale in _seg_entries(term_segments[term]):
             if buf:
                 iters.append(_TermIter(PostingSegment(buf), w, avgdl, scale))
     if not iters:
@@ -208,9 +210,15 @@ def blockmax_topk_segments(
     """
     segs: list[tuple[PostingSegment, float]] = []
     bound_scales: list[float] = []
-    for term, bufs in term_segments.items():
+    # TERM-SORTED segment order: region scoring concatenates per-segment
+    # contributions and np.add.at sums them sequentially per doc, so this
+    # fixes the float summation order to sorted-term — bit-identical to the
+    # DataFrame path's deterministic term-sorted sum (a (term, doc) pair
+    # lives in exactly one segment, so ordering across terms is the only
+    # freedom).
+    for term in sorted(term_segments):
         w = term_weights[term]
-        for buf, scale in _seg_entries(bufs):
+        for buf, scale in _seg_entries(term_segments[term]):
             if buf:
                 segs.append((PostingSegment(buf), w))
                 bound_scales.append(scale)

@@ -80,7 +80,7 @@ def append_batch(
             store.write_ledger(ledger)
     prefix = f"b{key if key is not None else new_chunk}-"
     # purge data files from a failed earlier attempt of this batch
-    for target in (store.docs_path, store.positions_path, store.postings_path):
+    for target in (store.docs_path, store.postings_path):
         store.unpublish(target, prefix)
 
     cleanup: list[DataFrame] = []
@@ -100,23 +100,12 @@ def append_batch(
 
     postings_all = build_postings(analyzed).persist()
     cleanup.append(postings_all)
-    n_pos_buckets = int(cstats.get("n_pos_buckets", n_buckets))
-    stage = store.staging_dir(f"{prefix}positions")
-    (
-        postings_all.select("term", "doc_id", "tf", "doc_len", "positions")
-        .withColumn("tbucket", term_bucket_col(F.col("term"), n_pos_buckets))
-        .sortWithinPartitions("tbucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(stage)
-    )
-    store.publish(stage, store.positions_path, prefix)
-    compact = postings_all.drop("positions").withColumn(
+    compact = postings_all.withColumn(
         "tbucket", term_bucket_col(F.col("term"), n_buckets)
     )
     stage = store.staging_dir(f"{prefix}postings")
     (
-        compact.repartition(n_buckets, "tbucket")
+        compact.sortWithinPartitions("tbucket", "term")
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(stage)
