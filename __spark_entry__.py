@@ -575,6 +575,69 @@ def _index_bm25(engine: str, boost: bool = False):
     return run
 
 
+def _index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION phrase path over the no-stem docs index: compact-postings
+    candidate intersection + the doc-partitioned vectorized adjacency kernel
+    (query/phrase.py) — not the adhoc relational twin."""
+    from search_engine_spark.query.phrase import phrase_matches
+
+    store = _docs_index(spark, sf_dir)
+    return phrase_matches(spark, store, _PHRASE_TERMS).select(
+        "doc_id", "phrase_count"
+    )
+
+
+def _index_logical(op: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PRODUCTION logical path: pipeline.search over the no-stem docs
+        index — shared positional scan, phrase kernels on both sides,
+        combine(), top-k."""
+        from search_engine_spark.query.pipeline import search
+
+        store = _docs_index(spark, sf_dir)
+        res = search(
+            spark, store, f'"{PHRASE}" {op} "{PHRASE_B}"', k=K,
+            engine="df", with_metadata=False,
+        )
+        return res.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
+
+
+def _index_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-append engine, hash-checked end-to-end: build the no-stem
+    index from the FIRST HALF of the documents table, append the second half
+    via ``append_batch`` (staged batch-prefixed publish + ledger + new
+    segment chunk + avgdl-drift-scaled WAND bounds), then query through the
+    WAND path. The final state equals a full build, so the oracle is the
+    same ``_bm25_sql``. conv_id = lpad(doc_id) keeps assigned ids == table
+    ids across both the base build and the append (append base = n_docs =
+    half, second half ascending)."""
+    import hashlib
+
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.index.storage import IndexStore
+    from search_engine_spark.query.wand import bm25_topk_wand
+    from search_engine_spark.streaming.incremental import append_batch
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.environ.get("SPARK_GRAFT_AIX", "/tmp/se_entry_docs_ixapp") + f"_v1_{h}"
+    done = Path(d) / "_ENTRY_DONE"
+
+    def build():
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        half = _docs_as_transcripts(docs.filter(F.col("doc_id") < n // 2))
+        rest = _docs_as_transcripts(docs.filter(F.col("doc_id") >= n // 2))
+        store = build_index(spark, half, d, n_chunks=2, stem=False)
+        append_batch(spark, store, rest)
+        done.touch()
+
+    _locked_build(done, Path(d + ".lock"), build)
+    res = bm25_topk_wand(spark, IndexStore(d), _Q_TERMS, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _transcripts_search(engine: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.query.pipeline import search
@@ -731,6 +794,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["index_bm25_df"] = q(_index_bm25("df"))
     out["index_bm25_wand"] = q(_index_bm25("wand"))
     out["index_bm25_boosted"] = q(_index_bm25("df", boost=True))
+    # the PRODUCTION phrase/logical kernels (query/phrase.py + pipeline.search)
+    # over the same no-stem store — previously only the adhoc twins were
+    # hash-checked
+    out["index_phrase_match"] = q(_index_phrase_match)
+    for op in ("AND", "OR", "NOT"):
+        out[f"index_logical_{op.lower()}"] = q(_index_logical(op))
+    # streaming append engine end-to-end (half build + append_batch + WAND)
+    out["index_bm25_appended"] = q(_index_bm25_appended)
 
     # --- full stemmed engine over transcripts (rows-only; pytest holds the
     #     rank-identity gate for these) -------------------------------------
@@ -950,6 +1021,11 @@ FROM tf GROUP BY term
     sql["index_bm25_wand"] = _bm25_sql(_Q_TERMS, K)
     # all documents-table rows are role='user' (weight 3.0) -> boosted = x3
     sql["index_bm25_boosted"] = _bm25_sql(_Q_TERMS, K, boost_mult=3.0)
+    # a half-build + append_batch equals a full build -> same oracle
+    sql["index_bm25_appended"] = _bm25_sql(_Q_TERMS, K)
+    sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)
+    for op in ("AND", "OR", "NOT"):
+        sql[f"index_logical_{op.lower()}"] = _logical_sql(op, K)
     sql["phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     for op in ("AND", "OR", "NOT"):
         sql[f"logical_{op.lower()}"] = _logical_sql(op, K)

@@ -63,9 +63,12 @@ def candidates_for_terms(
     (kept opt-in so the un-boosted path's scan stays column-pruned)."""
     if not terms:
         return None
+    # bucket count from the store's stats, not the module default — an index
+    # built with a different n_buckets would otherwise prune wrong dirs
+    n_buckets = int(store.corpus_stats().get("n_buckets", 64))
     qtf = Counter(terms)
     uniq = sorted(qtf)
-    buckets = sorted({term_bucket_py(t) for t in uniq})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
 
     cols = ["term", "doc_id", "tf", "doc_len"]
     if with_importance:

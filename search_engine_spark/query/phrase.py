@@ -55,8 +55,12 @@ def candidate_docs(
     intersect doc sets first, fetch/decode positions only for survivors."""
     from ..index.build import term_bucket_py
 
+    # bucket count comes from the STORE's corpus stats, not the module
+    # default — an index built with n_buckets != 64 would otherwise prune
+    # the wrong partition dirs and silently return empty matches
+    n_buckets = _n_pos_buckets(store)
     uniq = sorted(set(terms))
-    buckets = sorted({term_bucket_py(t) for t in uniq})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
     return (
         store.postings(spark)
         .filter(F.col("tbucket").isin(buckets))
@@ -136,6 +140,17 @@ def _match_kernel(terms: list[str]):
                 bytes(b) for b, k in zip(pdf["positions"].iloc[order], keep) if k
             )
             pos = varbyte_decode(blob, int(tfs_k.sum()))
+            # margin of 64 keeps starts + i (i < phrase length) from
+            # carrying across the doc_id bit boundary too
+            if pos.size and int(pos.max()) >= (1 << _POS_BITS) - 64:
+                # a position overflowing into the doc_id bits would corrupt
+                # the composite key silently — fail loudly instead (docs are
+                # single transcript turns; 2M tokens in one turn means the
+                # corpus, not the kernel, is broken)
+                raise ValueError(
+                    f"position {int(pos.max())} >= 2^{_POS_BITS} - 64; "
+                    "doc too long for the composite phrase key"
+                )
             row_of = np.repeat(np.arange(ids_k.size), tfs_k)
             key = (ids_k[row_of] << _POS_BITS) | pos
             kcode = codes_k[row_of]
@@ -224,8 +239,16 @@ def phrase_matches(
             spark, store, terms, candidates=candidate_docs(spark, store, terms)
         )
     n_parts = spark.sparkContext.defaultParallelism
+    # sortWithinPartitions is LOAD-BEARING: _match_kernel requires a doc's
+    # rows to be contiguous in the partition stream (its carry only saves
+    # the batch's trailing doc_id). A doc's term-rows arrive from different
+    # tbucket scan tasks, so after the hash shuffle alone they sit in
+    # different fetched blocks; once a partition spans multiple Arrow
+    # batches an unsorted doc would be split across non-adjacent batches
+    # and its matches silently dropped (tests/test_phrase_kernel.py).
     matched = (
         pos_rows.repartition(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
         .mapInPandas(
             _match_kernel(terms),
             schema="doc_id long, phrase_count long, doc_len long",

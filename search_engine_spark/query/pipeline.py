@@ -55,7 +55,11 @@ def search(
     re-ranks an over-fetched candidate pool (4k) — popularity is a bounded
     prior, so a doc outside the relevance top-4k cannot enter the top-k
     unless relevance scores are pathologically flat."""
-    pq = parse_query(query)
+    # the query MUST be analyzed with the same analyzer the index was built
+    # with (a stemmed query against a no-stem index misses every inflected
+    # term) — the store records its mode in corpus stats
+    stem = bool(store.corpus_stats().get("stem", True))
+    pq = parse_query(query, stem=stem)
     fetch_k = k if not blend_popularity else max(4 * k, 50)
     if pq.kind == "logical":
         # both sides phrases (the reference's Q4 shape): scan + candidate-

@@ -342,9 +342,10 @@ def bm25_topk_wand(
         return spark.createDataFrame([], "doc_id long, score double")
     cstats = store.corpus_stats()
     avgdl, n_docs = cstats["avgdl"], cstats["n_docs"]
+    n_buckets = int(cstats.get("n_buckets", 64))
     qtf = Counter(terms)
     uniq = sorted(qtf)
-    buckets = sorted({term_bucket_py(t) for t in uniq})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
 
     # tiny broadcast stats lookup (the reference's GlobalStats, J7 analog)
     stats_rows = (

@@ -78,7 +78,11 @@ def append_batch(
         if key is not None:
             ledger["inflight"][key] = {"base": base, "chunk": new_chunk}
             store.write_ledger(ledger)
-    prefix = f"b{key if key is not None else new_chunk}-"
+    # distinct namespaces: stream batch_ids ("b<id>-") and direct-call chunk
+    # numbers ("c<chunk>-") advance on the same small integers — one shared
+    # prefix would let a later stream replay's unpublish() delete a direct
+    # append's already-published files (and vice versa)
+    prefix = f"b{key}-" if key is not None else f"c{new_chunk}-"
     # purge data files from a failed earlier attempt of this batch
     for target in (store.docs_path, store.postings_path):
         store.unpublish(target, prefix)
