@@ -435,9 +435,9 @@ def _transcript_store(spark: SparkSession):
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.index.storage import IndexStore
 
-    # _v3: unified postings/positions table — stale memoized indexes from
+    # _v4: segment codec v2 (weight stream) — stale memoized indexes from
     # older layouts must not be reused
-    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v3")
+    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v4")
     store = IndexStore(ix_dir)
     if not store.corpus_stats_path.exists():
         # exclusive-create lock: queries() callables may run concurrently
@@ -545,7 +545,7 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     from search_engine_spark.index.storage import IndexStore
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v2_{h}"
+    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v3_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():
@@ -569,7 +569,7 @@ def _index_bm25(engine: str, boost: bool = False):
         else:
             from search_engine_spark.query.wand import bm25_topk_wand
 
-            res = bm25_topk_wand(spark, store, _Q_TERMS, k=K)
+            res = bm25_topk_wand(spark, store, _Q_TERMS, k=K, boost=boost)
         return res.select("doc_id", F.round("score", 6).alias("score"))
 
     return run
@@ -621,7 +621,7 @@ def _index_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.streaming.incremental import append_batch
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_AIX", "/tmp/se_entry_docs_ixapp") + f"_v1_{h}"
+    d = os.environ.get("SPARK_GRAFT_AIX", "/tmp/se_entry_docs_ixapp") + f"_v2_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():
@@ -794,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["index_bm25_df"] = q(_index_bm25("df"))
     out["index_bm25_wand"] = q(_index_bm25("wand"))
     out["index_bm25_boosted"] = q(_index_bm25("df", boost=True))
+    # boosted WAND: segment weight stream + per-block boosted block-max
+    out["index_bm25_boosted_wand"] = q(_index_bm25("wand", boost=True))
     # the PRODUCTION phrase/logical kernels (query/phrase.py + pipeline.search)
     # over the same no-stem store — previously only the adhoc twins were
     # hash-checked
@@ -1021,6 +1023,7 @@ FROM tf GROUP BY term
     sql["index_bm25_wand"] = _bm25_sql(_Q_TERMS, K)
     # all documents-table rows are role='user' (weight 3.0) -> boosted = x3
     sql["index_bm25_boosted"] = _bm25_sql(_Q_TERMS, K, boost_mult=3.0)
+    sql["index_bm25_boosted_wand"] = _bm25_sql(_Q_TERMS, K, boost_mult=3.0)
     # a half-build + append_batch equals a full build -> same oracle
     sql["index_bm25_appended"] = _bm25_sql(_Q_TERMS, K)
     sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)

@@ -123,6 +123,67 @@ def host_probe(n_procs: int = 8, secs: float = 1.5) -> float:
     return round(sum(rates) / 1e6, 1)
 
 
+# ---------------------------------------------------------------------------
+# window-gated scaling measurement
+# ---------------------------------------------------------------------------
+# The scaling-efficiency pair is only meaningful when the shared host is
+# stable for its whole duration: round 2 recorded 0.692 (< the 0.8 gate)
+# because the VM degraded mid-pair (probe 17.0 -> 13.8 M h/s). The harness
+# now probes BEFORE, BETWEEN, and AFTER the two levels and refuses to record
+# a pair whose probes disagree by >15% or sit >20% below the healthy
+# reference — it retries (up to MAX_SCALING_ATTEMPTS) until a stable window
+# is captured; if none is, it keeps the attempt with the most stable window
+# and flags it.
+HEALTHY_MHS = 19.7
+WINDOW_TOL = 0.15
+WINDOW_FLOOR = 0.80
+MAX_SCALING_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
+
+def _window_ok(probes: list[float]) -> bool:
+    lo_p, hi_p = min(probes), max(probes)
+    return (hi_p - lo_p) / hi_p <= WINDOW_TOL and lo_p >= WINDOW_FLOOR * HEALTHY_MHS
+
+
+def measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full):
+    attempts = []
+    for i in range(MAX_SCALING_ATTEMPTS):
+        p0 = host_probe()
+        hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm,
+                       f"{TMP_BASE}/bench_ix_hi", repeats=2)
+        p1 = host_probe()
+        lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm,
+                       f"{TMP_BASE}/bench_ix_lo", repeats=1)
+        p2 = host_probe()
+        thr_hi, thr_lo = n_full / hi["t_full"], n_full / lo["t_full"]
+        eff = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
+        att = {
+            "hi": hi, "lo": lo,
+            "probes_mhs": [p0, p1, p2],
+            "efficiency": round(eff, 3),
+            "window_ok": _window_ok([p0, p1, p2]),
+        }
+        attempts.append(att)
+        print(
+            f"[bench] scaling attempt {i + 1}: eff={att['efficiency']} "
+            f"probes={att['probes_mhs']} ok={att['window_ok']}",
+            file=sys.stderr, flush=True,
+        )
+        if att["window_ok"]:
+            break
+        if i + 1 < MAX_SCALING_ATTEMPTS:
+            time.sleep(60)  # let the contention window pass before retrying
+    best = next((a for a in attempts if a["window_ok"]), None)
+    if best is None:
+        # most stable window = smallest relative probe spread
+        best = min(
+            attempts,
+            key=lambda a: (max(a["probes_mhs"]) - min(a["probes_mhs"]))
+            / max(a["probes_mhs"]),
+        )
+    return best, attempts
+
+
 def _time_query_set(spark, store, repeats: int = 3):
     from search_engine_spark.query.pipeline import search
 
@@ -166,16 +227,10 @@ def main() -> None:
     spark.stop()
     n_full = sizes[corpus_full]
 
-    probe_before = host_probe()
-    hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm,
-                   f"{TMP_BASE}/bench_ix_hi", repeats=2)
-    lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm,
-                   f"{TMP_BASE}/bench_ix_lo", repeats=1)
-    probe_after = host_probe()
-
+    best, attempts = measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full)
+    hi, lo = best["hi"], best["lo"]
     thr_hi, thr_lo = n_full / hi["t_full"], n_full / lo["t_full"]
-    ratio = HI_CPUS / LO_CPUS
-    efficiency = (thr_hi / thr_lo) / ratio
+    efficiency = best["efficiency"]
 
     # query latencies on a dedicated ~650k-turn index (the size the
     # BASELINE.md latency band is defined at), plus one pass at the big
@@ -216,12 +271,21 @@ def main() -> None:
             "cores_lo": LO_CPUS,
             "cores_hi": HI_CPUS,
             "efficiency": round(efficiency, 3),
+            "window_ok": best["window_ok"],
+            "attempts": [
+                {"efficiency": a["efficiency"], "probes_mhs": a["probes_mhs"],
+                 "window_ok": a["window_ok"]}
+                for a in attempts
+            ],
         },
         "query_p95_sec": p95,
         "host_window": {
-            "sha256_mhs_before": probe_before,
-            "sha256_mhs_after": probe_after,
-            "healthy_mhs": 19.7,
+            "sha256_mhs_before": best["probes_mhs"][0],
+            "sha256_mhs_mid": best["probes_mhs"][1],
+            "sha256_mhs_after": best["probes_mhs"][2],
+            "healthy_mhs": HEALTHY_MHS,
+            "tolerance": WINDOW_TOL,
+            "floor_frac": WINDOW_FLOOR,
         },
         "index": {
             "n_postings": sum(mf["n_postings"] for mf in manifests),

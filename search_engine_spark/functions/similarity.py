@@ -86,7 +86,12 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: centroids = embeddings of the ``n_centroids``
     smallest ids (deterministic); probe the n_probe centroid cells nearest
-    to the query; exact cosine within the probed cells."""
+    to the query; exact cosine within the probed cells.
+
+    This adhoc variant re-assigns the corpus per call — it is the parity
+    baseline. The SERVE path is ``vector_index.ivf_topk_indexed`` over a
+    persisted centroid-partitioned index (partition-pruned probes; see
+    tests/test_vector_index.py for the identity assertion)."""
     cent_rows = (
         emb.orderBy(F.asc(id_col))
         .limit(n_centroids)

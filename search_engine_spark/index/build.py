@@ -313,7 +313,7 @@ def encode_segments(
         postings.withColumn(
             "drange", (F.col("doc_id") / F.lit(drange_span)).cast("long")
         )
-        .select("term", "drange", "doc_id", "tf", "doc_len")
+        .select("term", "drange", "doc_id", "tf", "doc_len", "importance")
         .repartition(num_partitions, "term", "drange")
         .sortWithinPartitions("term", "drange", "doc_id")
     )
@@ -330,8 +330,11 @@ def encode_segments(
             numpy call overhead (Zipf tail = millions of 1-posting groups)."""
             from .codec import (
                 BLOCK_SIZE,
+                FLAG_WEIGHTS,
                 MAGIC,
+                WEIGHT_SCALE,
                 _HEADER,
+                f32_upper,
                 varbyte_encode_with_sizes,
             )
 
@@ -340,6 +343,12 @@ def encode_segments(
             ids = pdf["doc_id"].to_numpy(np.int64)
             tfs = pdf["tf"].to_numpy(np.int64)
             dls = pdf["doc_len"].to_numpy(np.int64)
+            # per-posting role weight = importance/tf, quantized to
+            # 1/WEIGHT_SCALE (exact for the integer ROLE_WEIGHTS)
+            w_q = np.rint(
+                pdf["importance"].to_numpy(np.float64)
+                / tfs * WEIGHT_SCALE
+            ).astype(np.int64)
             n_rows = len(pdf)
             # group boundaries on the sorted (term, drange) stream
             change = np.flatnonzero(
@@ -357,10 +366,18 @@ def encode_segments(
             gap_buf, gap_sz = varbyte_encode_with_sizes(gaps)
             tf_buf, tf_sz = varbyte_encode_with_sizes(tfs)
             dl_buf, dl_sz = varbyte_encode_with_sizes(dls)
-            gap_mv, tf_mv, dl_mv = map(memoryview, (gap_buf, tf_buf, dl_buf))
+            w_buf, w_sz = varbyte_encode_with_sizes(w_q)
+            gap_mv, tf_mv, dl_mv, w_mv = map(
+                memoryview, (gap_buf, tf_buf, dl_buf, w_buf)
+            )
             gap_off = np.concatenate(([0], np.cumsum(gap_sz)))
             tf_off = np.concatenate(([0], np.cumsum(tf_sz)))
             dl_off = np.concatenate(([0], np.cumsum(dl_sz)))
+            w_off = np.concatenate(([0], np.cumsum(w_sz)))
+            # groups where every weight is 1 omit the stream entirely
+            grp_has_w = (
+                np.maximum.reduceat(w_q, starts) != WEIGHT_SCALE
+            ) | (np.minimum.reduceat(w_q, starts) != WEIGHT_SCALE)
 
             # block boundaries: every BLOCK_SIZE postings within each group
             g_len = ends - starts
@@ -371,20 +388,32 @@ def encode_segments(
             blk_lo = starts[blk_group] + blk_idx * BLOCK_SIZE
             blk_hi = np.minimum(blk_lo + BLOCK_SIZE, ends[blk_group])
             blk_max = np.maximum.reduceat(imp_all, blk_lo)
+            wimp_all = imp_all * (w_q.astype(np.float64) / WEIGHT_SCALE)
+            blk_wmax = np.maximum.reduceat(wimp_all, blk_lo)
             dir_arr = np.empty(
                 blk_lo.size,
                 dtype=np.dtype(
-                    [("ld", "<i8"), ("imp", "<f4"), ("go", "<i4"),
-                     ("to", "<i4"), ("do", "<i4"), ("n", "<i4")],
+                    [("ld", "<i8"), ("imp", "<f4"), ("wimp", "<f4"),
+                     ("go", "<i4"), ("to", "<i4"), ("do", "<i4"),
+                     ("wo", "<i4"), ("n", "<i4")],
                     align=False,
                 ),
             )
             dir_arr["ld"] = ids[blk_hi - 1]
-            dir_arr["imp"] = blk_max.astype(np.float32)
+            # rounded UP to f32: stored bounds must stay valid upper bounds
+            dir_arr["imp"] = f32_upper(blk_max)
+            dir_arr["wimp"] = f32_upper(blk_wmax)
             # stream end-offsets RELATIVE to the group's start
             dir_arr["go"] = gap_off[blk_hi] - gap_off[starts[blk_group]]
             dir_arr["to"] = tf_off[blk_hi] - tf_off[starts[blk_group]]
             dir_arr["do"] = dl_off[blk_hi] - dl_off[starts[blk_group]]
+            # weightless groups omit the stream -> zero offsets (keeps the
+            # output byte-identical to codec.encode_postings)
+            dir_arr["wo"] = np.where(
+                grp_has_w[blk_group],
+                w_off[blk_hi] - w_off[starts[blk_group]],
+                0,
+            )
             dir_arr["n"] = blk_hi - blk_lo
             dir_bytes = dir_arr.tobytes()
             DIR_SZ = dir_arr.dtype.itemsize
@@ -397,13 +426,18 @@ def encode_segments(
             postings_out = []
             for gi in range(len(starts)):
                 s, e = int(starts[gi]), int(ends[gi])
-                header = _HEADER.pack(MAGIC, e - s, int(ids[s]), int(nblk[gi]))
+                has_w = bool(grp_has_w[gi])
+                header = _HEADER.pack(
+                    MAGIC, e - s, int(ids[s]), int(nblk[gi]),
+                    FLAG_WEIGHTS if has_w else 0,
+                )
                 postings_out.append(
                     header
                     + dir_mv[blk_cum[gi] * DIR_SZ:blk_cum[gi + 1] * DIR_SZ].tobytes()
                     + gap_mv[gap_off[s]:gap_off[e]].tobytes()
                     + tf_mv[tf_off[s]:tf_off[e]].tobytes()
                     + dl_mv[dl_off[s]:dl_off[e]].tobytes()
+                    + (w_mv[w_off[s]:w_off[e]].tobytes() if has_w else b"")
                 )
             term_vals = terms[starts]
             return pd.DataFrame(

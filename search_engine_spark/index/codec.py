@@ -26,10 +26,17 @@ import struct
 import numpy as np
 
 BLOCK_SIZE = 128
-MAGIC = 0x5345_4721  # "SEG!"
+MAGIC = 0x5345_4722  # "SEG!" v2: adds optional per-posting weight stream
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+# per-posting role weights are quantized to 1/WEIGHT_SCALE when stored —
+# exact for the integer ROLE_WEIGHTS (and any 1/16-multiple); the boosted
+# WAND path must be bit-identical to the DataFrame path's importance/tf.
+# Scale 16 keeps every weight < 8 in ONE varbyte byte per posting.
+WEIGHT_SCALE = 16
+FLAG_WEIGHTS = 1  # header flag bit: weight stream present
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +113,19 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+def f32_upper(x) -> np.ndarray:
+    """Round float64 values UP to float32: block-max impacts are stored as
+    f32 and must remain valid UPPER bounds — round-to-nearest could round
+    the true max down and let WAND prune a qualifying doc."""
+    y = np.asarray(x, dtype=np.float64)
+    f = y.astype(np.float32)
+    return np.where(
+        f.astype(np.float64) < y,
+        np.nextafter(f, np.float32(np.inf)),
+        f,
+    ).astype(np.float32)
+
+
 def bm25_idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
     """BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)). (The reference's ranker
     uses ln(N/(1+df)), Indexer.java:384-388 — kept in stats for parity
@@ -117,19 +137,25 @@ def bm25_idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
 # segment encode / decode
 # ---------------------------------------------------------------------------
 
-_HEADER = struct.Struct("<IIqi")  # magic, n_postings, base_doc_id, n_blocks
+# magic, n_postings, base_doc_id, n_blocks, flags
+_HEADER = struct.Struct("<IIqii")
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    avgdl: float, block_size: int = BLOCK_SIZE) -> bytes:
+                    avgdl: float, block_size: int = BLOCK_SIZE,
+                    weights: np.ndarray | None = None) -> bytes:
     """Encode one (term, doc-range) posting group.
 
-    ``doc_ids`` must be strictly increasing. Layout:
+    ``doc_ids`` must be strictly increasing. Layout (v2):
 
         header | block directory | varbyte(gaps) | varbyte(tf) | varbyte(dl)
+               [| varbyte(round(weight*WEIGHT_SCALE)) when any weight != 1]
 
     block directory per block: last_doc_id:int64, impact:float32 (block max),
-    end_offsets into each of the three streams:int32 x3, n:int32.
+    wimpact:float32 (block max of weight*impact — the boosted-query bound),
+    end_offsets into each of the four streams:int32 x4, n:int32. The weight
+    stream is omitted (header flag clear, zero offsets) when every posting's
+    weight is 1 — the common case pays no size cost.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
@@ -143,11 +169,19 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     gaps = np.diff(doc_ids, prepend=base)  # first gap = 0
 
     impacts = bm25_impact(tfs, dls, avgdl)
+    if weights is None:
+        w_q = np.full(n, WEIGHT_SCALE, dtype=np.int64)
+    else:
+        w_q = np.rint(
+            np.asarray(weights, dtype=np.float64) * WEIGHT_SCALE
+        ).astype(np.int64)
+    has_w = bool((w_q != WEIGHT_SCALE).any())
+    w_impacts = impacts * (w_q.astype(np.float64) / WEIGHT_SCALE)
     n_blocks = (n + block_size - 1) // block_size
 
     dir_entries = []
-    gap_parts, tf_parts, dl_parts = [], [], []
-    g_off = t_off = d_off = 0
+    gap_parts, tf_parts, dl_parts, w_parts = [], [], [], []
+    g_off = t_off = d_off = w_off = 0
     for bi in range(n_blocks):
         lo, hi = bi * block_size, min((bi + 1) * block_size, n)
         gb = varbyte_encode(gaps[lo:hi])
@@ -159,63 +193,87 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         gap_parts.append(gb)
         tf_parts.append(tb)
         dl_parts.append(db)
+        if has_w:
+            wb = varbyte_encode(w_q[lo:hi])
+            w_off += len(wb)
+            w_parts.append(wb)
         dir_entries.append(
             struct.pack(
-                "<qfiiii",
+                "<qffiiiii",
                 int(doc_ids[hi - 1]),
-                float(impacts[lo:hi].max()),
+                float(f32_upper(impacts[lo:hi].max())),
+                float(f32_upper(w_impacts[lo:hi].max())),
                 g_off,
                 t_off,
                 d_off,
+                w_off,
                 hi - lo,
             )
         )
+    flags = FLAG_WEIGHTS if has_w else 0
     return b"".join(
-        [_HEADER.pack(MAGIC, n, base, n_blocks)]
+        [_HEADER.pack(MAGIC, n, base, n_blocks, flags)]
         + dir_entries
         + gap_parts
         + tf_parts
         + dl_parts
+        + w_parts
     )
 
 
-_DIR = struct.Struct("<qfiiii")
+_DIR = struct.Struct("<qffiiiii")
 
 
 class PostingSegment:
     """Decoded view over an encoded segment with lazy per-block access."""
 
-    __slots__ = ("n", "base", "n_blocks", "last_doc_ids", "impacts",
-                 "g_offs", "t_offs", "d_offs", "block_ns", "_gaps", "_tfs", "_dls")
+    __slots__ = ("n", "base", "n_blocks", "flags", "last_doc_ids", "impacts",
+                 "wimpacts", "g_offs", "t_offs", "d_offs", "w_offs",
+                 "block_ns", "_gaps", "_tfs", "_dls", "_ws")
 
     def __init__(self, buf: bytes):
-        magic, n, base, n_blocks = _HEADER.unpack_from(buf, 0)
+        magic, n, base, n_blocks, flags = _HEADER.unpack_from(buf, 0)
         if magic != MAGIC:
             raise ValueError("bad segment magic")
-        self.n, self.base, self.n_blocks = n, base, n_blocks
+        self.n, self.base, self.n_blocks, self.flags = n, base, n_blocks, flags
         off = _HEADER.size
         self.last_doc_ids = np.empty(n_blocks, dtype=np.int64)
         self.impacts = np.empty(n_blocks, dtype=np.float64)
+        self.wimpacts = np.empty(n_blocks, dtype=np.float64)
         self.g_offs = np.empty(n_blocks + 1, dtype=np.int64)
         self.t_offs = np.empty(n_blocks + 1, dtype=np.int64)
         self.d_offs = np.empty(n_blocks + 1, dtype=np.int64)
+        self.w_offs = np.empty(n_blocks + 1, dtype=np.int64)
         self.block_ns = np.empty(n_blocks, dtype=np.int64)
         self.g_offs[0] = self.t_offs[0] = self.d_offs[0] = 0
+        self.w_offs[0] = 0
         for bi in range(n_blocks):
-            ld, imp, go, to, do, bn = _DIR.unpack_from(buf, off)
+            ld, imp, wimp, go, to, do, wo, bn = _DIR.unpack_from(buf, off)
             off += _DIR.size
             self.last_doc_ids[bi] = ld
             self.impacts[bi] = imp
+            self.wimpacts[bi] = wimp
             self.g_offs[bi + 1] = go
             self.t_offs[bi + 1] = to
             self.d_offs[bi + 1] = do
+            self.w_offs[bi + 1] = wo
             self.block_ns[bi] = bn
         g0 = off
         t0 = g0 + int(self.g_offs[-1])
         d0 = t0 + int(self.t_offs[-1])
+        w0 = d0 + int(self.d_offs[-1])
         self._gaps = buf[g0:t0]
         self._tfs = buf[t0:d0]
-        self._dls = buf[d0:d0 + int(self.d_offs[-1])]
+        self._dls = buf[d0:w0]
+        self._ws = (
+            buf[w0:w0 + int(self.w_offs[-1])]
+            if self.flags & FLAG_WEIGHTS
+            else b""
+        )
+
+    @property
+    def has_weights(self) -> bool:
+        return bool(self.flags & FLAG_WEIGHTS)
 
     def block(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decode block ``bi`` -> (doc_ids, tfs, dls)."""
@@ -226,6 +284,15 @@ class PostingSegment:
         prev = self.base if bi == 0 else int(self.last_doc_ids[bi - 1])
         doc_ids = prev + np.cumsum(gaps)
         return doc_ids, tfs, dls
+
+    def block_weights(self, bi: int) -> np.ndarray:
+        """Per-posting role weights for block ``bi`` (all-ones when the
+        segment carries no weight stream)."""
+        bn = int(self.block_ns[bi])
+        if not self.has_weights:
+            return np.ones(bn, dtype=np.float64)
+        wq = varbyte_decode(self._ws[self.w_offs[bi]:self.w_offs[bi + 1]], bn)
+        return wq.astype(np.float64) / WEIGHT_SCALE
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         gaps = varbyte_decode(self._gaps, self.n)

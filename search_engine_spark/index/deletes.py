@@ -53,6 +53,59 @@ def mark_deleted(
     return df.count()
 
 
+# memoized per tombstone-dir snapshot (file names + sizes): the bloom is a
+# one-time distributed scan, reused by every subsequent query until the
+# tombstone table changes
+_BLOOM_CACHE: dict[tuple, object] = {}
+_BLOOM_CACHE_MAX = 8
+
+
+def _tombstone_snapshot(store: IndexStore) -> tuple:
+    p = Path(tombstones_path(store))
+    return tuple(
+        sorted((f.name, f.stat().st_size) for f in p.glob("*.parquet"))
+    )
+
+
+def tombstone_bloom(spark: SparkSession, store: IndexStore):
+    """Bloom filter over the tombstoned doc_ids (None when none exist).
+    Scale story: the id set NEVER reaches the driver — per-partition bitmaps
+    are OR-merged (index.bloom), and the result is a fixed-size broadcast.
+    Bloom-positive docs are exactly verified downstream (no false
+    negatives -> bloom-negative docs are certainly live)."""
+    tomb = tombstones(spark, store)
+    if tomb is None:
+        return None
+    from .bloom import bloom_from_df
+
+    key = (str(store.dir), _tombstone_snapshot(store))
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = tomb.count()
+    b = bloom_from_df(tomb, "doc_id", n)
+    while len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    _BLOOM_CACHE[key] = b
+    return b
+
+
+def verify_suspects(
+    spark: SparkSession, store: IndexStore, suspect_ids: list[int]
+) -> set[int]:
+    """Exact check of a SMALL id list against the tombstone table: pushed
+    doc_id IN (...) filter -> parquet row-group skipping, returns the subset
+    that is actually deleted. Only bloom-positive top-k contenders ever get
+    here, so the list stays driver-sized by construction."""
+    if not suspect_ids:
+        return set()
+    tomb = tombstones(spark, store)
+    if tomb is None:
+        return set()
+    rows = tomb.filter(F.col("doc_id").isin([int(i) for i in suspect_ids]))
+    return {int(r["doc_id"]) for r in rows.collect()}
+
+
 def live_filter(spark: SparkSession, store: IndexStore, df: DataFrame,
                 col: str = "doc_id") -> DataFrame:
     """Anti-join a DataFrame against the tombstones (no-op when none)."""

@@ -50,20 +50,25 @@ def _seg_entries(bufs) -> list[tuple[bytes, float]]:
 
 
 class _TermIter:
-    """Cursor over one term's decoded-on-demand segment with block skipping."""
+    """Cursor over one term's decoded-on-demand segment with block skipping.
+    ``boost=True`` applies the stored per-posting role weights (codec v2
+    weight stream): exact scores gain a *w factor and the block bounds use
+    the stored block-max of weight*impact."""
 
     __slots__ = ("seg", "weight", "avgdl", "bi", "i", "doc_ids", "tfs", "dls",
-                 "cur", "max_score", "exhausted", "bound_scale")
+                 "ws", "cur", "max_score", "exhausted", "bound_scale", "boost")
 
     def __init__(self, seg: PostingSegment, weight: float, avgdl: float,
-                 bound_scale: float = 1.0):
+                 bound_scale: float = 1.0, boost: bool = False):
         self.seg = seg
         self.weight = weight  # qtf * idf
         self.avgdl = avgdl
         self.bound_scale = bound_scale
+        self.boost = boost
         self.bi = -1
         self.exhausted = False
-        self.max_score = float(weight * seg.impacts.max() * bound_scale)
+        imps = seg.wimpacts if boost else seg.impacts
+        self.max_score = float(weight * imps.max() * bound_scale)
         self._load_block(0)
 
     def _load_block(self, bi: int):
@@ -73,13 +78,15 @@ class _TermIter:
             return
         self.bi = bi
         self.doc_ids, self.tfs, self.dls = self.seg.block(bi)
+        self.ws = self.seg.block_weights(bi) if self.boost else None
         self.i = 0
         self.cur = int(self.doc_ids[0])
 
     def block_max_score(self) -> float:
         if self.exhausted:
             return 0.0
-        return float(self.weight * self.seg.impacts[self.bi] * self.bound_scale)
+        imps = self.seg.wimpacts if self.boost else self.seg.impacts
+        return float(self.weight * imps[self.bi] * self.bound_scale)
 
     def next_geq(self, target: int):
         """Advance to the first docID >= target (block-skip via directory)."""
@@ -106,6 +113,10 @@ class _TermIter:
         impact = tf * (BM25_K1 + 1.0) / (
             tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
         )
+        if self.boost:
+            # (weight*impact)*w — grouped exactly like the DataFrame path's
+            # score_expr * (importance/tf) so float results are bit-identical
+            return (self.weight * impact) * float(self.ws[self.i])
         return self.weight * impact
 
 
@@ -115,11 +126,23 @@ def wand_topk_segments(
     avgdl: float,
     k: int,
     excluded=None,
+    suspect_of=None,
+    boost: bool = False,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one drange shard. ``term_segments`` maps each
     query term to its encoded segment buffers within the shard (docID-sorted,
     disjoint) — raw ``bytes`` or ``(bytes, bound_scale)`` (see
-    ``_seg_entries``). Returns [(doc_id, score)] sorted by (-score, doc_id)."""
+    ``_seg_entries``). Returns [(doc_id, score)] sorted by (-score, doc_id).
+
+    ``suspect_of`` (optional, a bloom with ``contains_many``) switches on
+    the tombstone-suspect protocol: bloom-positive docs never enter the
+    top-k heap (so the pruning threshold is driven by certainly-live docs
+    only — conservative, exact) but any that beat the insertion condition
+    are returned separately for exact downstream verification; the return
+    becomes ``(top, suspects)``. Exactness: if a suspect fails the
+    insertion condition, k live docs in this shard already rank above it
+    (ties break doc_id-asc and docIDs ascend), so it cannot be in the
+    global top-k."""
     iters: list[_TermIter] = []
     # term-sorted iterator order + stable sorts below -> per-doc term
     # contributions sum in sorted-term order (matches the DataFrame path)
@@ -127,12 +150,15 @@ def wand_topk_segments(
         w = term_weights[term]
         for buf, scale in _seg_entries(term_segments[term]):
             if buf:
-                iters.append(_TermIter(PostingSegment(buf), w, avgdl, scale))
+                iters.append(
+                    _TermIter(PostingSegment(buf), w, avgdl, scale, boost=boost)
+                )
     if not iters:
-        return []
+        return ([], []) if suspect_of is not None else []
 
     # heap entries: (score, -doc_id); worst of top-k at heap[0]
     heap: list[tuple[float, int]] = []
+    suspects: list[tuple[int, float]] = []
     INF = np.iinfo(np.int64).max
     excl_set = set(int(x) for x in excluded) if excluded is not None else None
 
@@ -167,10 +193,21 @@ def wand_topk_segments(
                 for it in live:
                     if it.cur == pivot_doc:
                         score += it.score_current()
-                if score > threshold or (
+                is_suspect = suspect_of is not None and bool(
+                    suspect_of.contains_many(
+                        np.array([pivot_doc], dtype=np.int64)
+                    )[0]
+                )
+                entry = (score, -pivot_doc)
+                if is_suspect:
+                    # maybe-deleted: keep out of the live heap (threshold
+                    # stays live-only), emit for exact verification if it
+                    # would have qualified
+                    if len(heap) < k or entry > heap[0]:
+                        suspects.append((pivot_doc, score))
+                elif score > threshold or (
                     len(heap) < k
                 ):
-                    entry = (score, -pivot_doc)
                     if len(heap) < k:
                         heapq.heappush(heap, entry)
                     elif entry > heap[0]:
@@ -186,6 +223,8 @@ def wand_topk_segments(
 
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda x: (-x[1], x[0]))
+    if suspect_of is not None:
+        return out, suspects
     return out
 
 
@@ -195,6 +234,8 @@ def blockmax_topk_segments(
     avgdl: float,
     k: int,
     excluded=None,
+    suspect_of=None,
+    boost: bool = False,
 ) -> list[tuple[int, float]]:
     """Vectorized block-max traversal over one drange shard.
 
@@ -223,7 +264,7 @@ def blockmax_topk_segments(
                 segs.append((PostingSegment(buf), w))
                 bound_scales.append(scale)
     if not segs:
-        return []
+        return ([], []) if suspect_of is not None else []
 
     n = len(segs)
     cur_block = np.zeros(n, dtype=np.int64)          # current block index
@@ -240,6 +281,7 @@ def blockmax_topk_segments(
     INF = np.iinfo(np.int64).max
 
     heap: list[tuple[float, int]] = []
+    suspects: list[tuple[int, float]] = []
     decoded: dict[tuple[int, int], tuple] = {}
 
     def block_last(i):
@@ -259,7 +301,14 @@ def blockmax_topk_segments(
         overlapping = [i for i in active if block_first(i) <= region_end]
         threshold = heap[0][0] if len(heap) >= k else float("-inf")
         ub = sum(
-            float(ub_weights[i] * segs[i][0].impacts[cur_block[i]])
+            float(
+                ub_weights[i]
+                * (
+                    segs[i][0].wimpacts[cur_block[i]]
+                    if boost
+                    else segs[i][0].impacts[cur_block[i]]
+                )
+            )
             for i in overlapping
         )
         if ub > threshold and overlapping:
@@ -275,12 +324,24 @@ def blockmax_topk_segments(
                     imp = tf * (BM25_K1 + 1.0) / (
                         tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
                     )
-                    decoded[key] = (d_ids, imp)
-                d_ids, imp = decoded[key]
+                    if boost:
+                        # (weight*impact)*w grouping matches the DataFrame
+                        # path bit-for-bit; fold w AFTER the qtf*idf weight
+                        # by carrying it as a separate factor
+                        decoded[key] = (
+                            d_ids, imp,
+                            segs[i][0].block_weights(int(cur_block[i])),
+                        )
+                    else:
+                        decoded[key] = (d_ids, imp, None)
+                d_ids, imp = decoded[key][0], decoded[key][1]
                 hi = int(np.searchsorted(d_ids, region_end, side="right"))
                 if hi:
                     ids_parts.append(d_ids[:hi])
-                    score_parts.append(weights[i] * imp[:hi])
+                    part = weights[i] * imp[:hi]
+                    if boost:
+                        part = part * decoded[key][2][:hi]
+                    score_parts.append(part)
             if ids_parts:
                 all_ids = np.concatenate(ids_parts)
                 all_scores = np.concatenate(score_parts)
@@ -293,6 +354,16 @@ def blockmax_topk_segments(
                     mask = np.ones(uniq.size, dtype=bool)
                 if excluded is not None and len(excluded):
                     mask &= ~np.isin(uniq, excluded)
+                if suspect_of is not None and mask.any():
+                    # maybe-deleted docs: route to the suspect channel
+                    # (verified exactly downstream) instead of the live heap
+                    sus = mask & suspect_of.contains_many(uniq)
+                    if sus.any():
+                        mask &= ~sus
+                        for doc, sc in zip(uniq[sus], sums[sus]):
+                            entry = (float(sc), -int(doc))
+                            if len(heap) < k or entry > heap[0]:
+                                suspects.append((int(doc), float(sc)))
                 for doc, sc in zip(uniq[mask], sums[mask]):
                     entry = (float(sc), -int(doc))
                     if len(heap) < k:
@@ -316,9 +387,11 @@ def blockmax_topk_segments(
                 else:
                     first_doc[i] = INF
             elif key in decoded:
-                d_ids, imp = decoded[key]
+                d_ids, imp, wv = decoded[key]
                 lo = int(np.searchsorted(d_ids, region_end, side="right"))
-                decoded[key] = (d_ids[lo:], imp[lo:])
+                decoded[key] = (
+                    d_ids[lo:], imp[lo:], wv[lo:] if wv is not None else None
+                )
                 first_doc[i] = int(d_ids[lo]) if lo < d_ids.size else block_last(i)
             else:
                 # block never decoded (region skipped): conservative bound
@@ -327,6 +400,8 @@ def blockmax_topk_segments(
 
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda x: (-x[1], x[0]))
+    if suspect_of is not None:
+        return out, suspects
     return out
 
 
@@ -335,9 +410,16 @@ def bm25_topk_wand(
     store: IndexStore,
     terms: list[str],
     k: int = 10,
+    boost: bool = False,
 ) -> DataFrame:
     """Distributed block-max WAND: pruned segment scan -> per-drange WAND ->
-    global top-k merge. Rank-identical to ``bm25.bm25_topk``."""
+    global top-k merge. Rank-identical to ``bm25.bm25_topk``.
+
+    ``boost=True`` applies the stored per-posting role weights (the
+    transcripts analog of the reference's in-title boost,
+    ``Ranker/ParallelRanker.java:86-104``) using the segment codec's weight
+    stream and per-block boosted block-max bounds — bit-identical to
+    ``bm25_topk(boost=True)``."""
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     cstats = store.corpus_stats()
@@ -363,20 +445,17 @@ def bm25_topk_wand(
     }
     b_weights = spark.sparkContext.broadcast(weights)
 
-    # tombstoned docs are excluded inside the shard scorers (a collected id
-    # array is fine for interactive delete volumes; a bloom/roaring filter
-    # replaces it when deletes grow to cluster scale)
-    from ..index.deletes import tombstones
+    # Tombstoned docs are excluded inside the shard scorers via a broadcast
+    # BLOOM filter (fixed-size regardless of delete volume — the id set
+    # never reaches the driver; a 10^8-row dedup delete set broadcasts the
+    # same few MB). Bloom-positive docs that would have made a shard's
+    # top-k come back as "suspects" and are verified exactly against the
+    # tombstone table below — bloom false positives cost a lookup, never a
+    # wrong result.
+    from ..index.deletes import tombstone_bloom, verify_suspects
 
-    tomb = tombstones(spark, store)
-    excl = (
-        np.array(
-            sorted(r["doc_id"] for r in tomb.collect()), dtype=np.int64
-        )
-        if tomb is not None
-        else None
-    )
-    b_excl = spark.sparkContext.broadcast(excl)
+    bloom = tombstone_bloom(spark, store)
+    b_excl = spark.sparkContext.broadcast(bloom)
 
     # per-chunk encode-time avgdl: stored block-max impacts are only a valid
     # upper bound at the avgdl they were encoded with; after streaming
@@ -405,17 +484,46 @@ def bm25_topk_wand(
         for term, buf, chunk in zip(pdf["term"], pdf["postings"], pdf["chunk"]):
             scale = b_scales.value.get(int(chunk), 1.0)
             term_segments.setdefault(term, []).append((bytes(buf), scale))
-        top = blockmax_topk_segments(
-            term_segments, b_weights.value, avgdl, k, excluded=b_excl.value
-        )
+        bl = b_excl.value
+        if bl is None:
+            top = blockmax_topk_segments(
+                term_segments, b_weights.value, avgdl, k, boost=boost
+            )
+            sus = []
+        else:
+            top, sus = blockmax_topk_segments(
+                term_segments, b_weights.value, avgdl, k, suspect_of=bl,
+                boost=boost,
+            )
         return pd.DataFrame(
             {
-                "doc_id": [d for d, _ in top],
-                "score": [s for _, s in top],
+                "doc_id": [d for d, _ in top] + [d for d, _ in sus],
+                "score": [s for _, s in top] + [s for _, s in sus],
+                "suspect": [False] * len(top) + [True] * len(sus),
             }
-        ).astype({"doc_id": "int64", "score": "float64"})
+        ).astype({"doc_id": "int64", "score": "float64", "suspect": "bool"})
 
     local = segs.groupBy("drange").applyInPandas(
-        shard_wand, schema="doc_id long, score double"
+        shard_wand, schema="doc_id long, score double, suspect boolean"
     )
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if bloom is None:
+        return (
+            local.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    # exact suspect resolution: the per-shard suspect lists are top-k
+    # contenders only (driver-sized by construction), so materialize once,
+    # verify the suspect ids against the tombstone table with a pushed
+    # IN (...) filter, and take the final top-k over live ∪ verified-live.
+    rows = local.collect()
+    verified_deleted = verify_suspects(
+        spark, store, [int(r["doc_id"]) for r in rows if r["suspect"]]
+    )
+    final = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in rows
+        if not (r["suspect"] and int(r["doc_id"]) in verified_deleted)
+    ]
+    final.sort(key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(final[:k], "doc_id long, score double")

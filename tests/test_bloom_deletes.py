@@ -1,0 +1,101 @@
+"""Bloom-filter tombstone exclusion: the WAND path must stay exact under
+mass deletes WITHOUT ever collecting the tombstone id set to the driver
+(VERDICT r2 "what's wrong" #1)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.corpus import HEAD_TERMS, VOCAB
+from search_engine_spark.index.bloom import Bloom, _size_for
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.index.codec import bm25_idf, encode_postings
+from search_engine_spark.index.deletes import mark_deleted
+from search_engine_spark.query.wand import blockmax_topk_segments
+from search_engine_spark.query.pipeline import search
+
+QUERY = f"{HEAD_TERMS[0]} {VOCAB[0]}"
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, size=50_000, replace=False).astype(np.int64)
+    m, k = _size_for(members.size)
+    b = Bloom(m, k)
+    b.add_many(members)
+    assert b.contains_many(members).all()  # no false negatives, ever
+    probe = rng.choice(10**9, size=50_000, replace=False).astype(np.int64)
+    probe = probe[~np.isin(probe, members)]
+    fp = b.contains_many(probe).mean()
+    assert fp < 0.01, fp
+
+
+def test_saturated_bloom_routes_everything_to_suspects():
+    """Worst case: a saturated filter flags EVERY doc as maybe-deleted. The
+    live heap stays empty, the suspect channel must carry the true top-k
+    (exactness does not depend on the fp rate)."""
+    avgdl = 10.0
+    ids = np.arange(1, 400, dtype=np.int64)
+    tfs = np.ones(399, dtype=np.int64) * np.arange(1, 400) % 5 + 1
+    dls = np.full(399, 10, dtype=np.int64)
+    enc = {"t": [encode_postings(ids, tfs, dls, avgdl, block_size=64)]}
+    w = {"t": float(bm25_idf(1000, 399))}
+    sat = Bloom(1 << 14, 1)
+    sat.words |= np.uint64(0xFFFFFFFFFFFFFFFF)
+    top, sus = blockmax_topk_segments(enc, w, avgdl, 10, suspect_of=sat)
+    assert top == []
+    exact = blockmax_topk_segments(enc, w, avgdl, 10)
+    got = sorted(sus, key=lambda x: (-x[1], x[0]))[:10]
+    assert [(d, round(s, 10)) for d, s in got] == [
+        (d, round(s, 10)) for d, s in exact
+    ]
+
+
+@pytest.fixture(scope="module")
+def mass_deleted_store(spark, transcripts_pdf, tmp_path_factory):
+    d = tmp_path_factory.mktemp("massdel") / "ix"
+    store = build_index(
+        spark, spark.createDataFrame(transcripts_pdf), str(d),
+        drange_span=64, n_chunks=2,
+    )
+    n_docs = store.corpus_stats()["n_docs"]
+    # a dedup-pass-sized delete: 10^5 tombstones as a DataFrame (half the
+    # corpus's docs plus far more ids beyond it) — never a python id list
+    victims = spark.range(0, 100_000).select(
+        F.when(F.col("id") < n_docs // 2, F.col("id"))
+        .otherwise(F.col("id") + 10_000_000)
+        .alias("doc_id")
+    )
+    mark_deleted(spark, store, victims)
+    return store, n_docs
+
+
+def test_wand_exact_under_mass_delete(spark, mass_deleted_store, oracle_index):
+    from search_engine_spark.oracle import score_query, topk
+
+    store, n_docs = mass_deleted_store
+    for q in (QUERY, f"{HEAD_TERMS[1]} {VOCAB[3]}", HEAD_TERMS[0]):
+        df_rows = search(
+            spark, store, q, k=10, engine="df", with_metadata=False
+        ).collect()
+        wd_rows = search(
+            spark, store, q, k=10, engine="wand", with_metadata=False
+        ).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in df_rows] == [
+            (r["doc_id"], round(r["score"], 9)) for r in wd_rows
+        ], q
+        # survivors only, and matching the brute-force oracle restricted to
+        # live docs (stale global stats are the documented semantics, so
+        # scores come from the full-corpus oracle)
+        live_exp = [
+            (d, round(s, 9))
+            for d, s in topk(
+                {
+                    d: s
+                    for d, s in score_query(oracle_index, q).items()
+                    if d >= n_docs // 2
+                },
+                10,
+            )
+        ]
+        assert [(r["doc_id"], round(r["score"], 9)) for r in wd_rows] == live_exp, q

@@ -93,6 +93,28 @@ def test_golden_query_role_boost(spark, index_store, oracle_index, query):
     _assert_matches_oracle(got.collect(), exp, query)
 
 
+@pytest.mark.parametrize(
+    "query",
+    [GOLDEN_QUERIES[0], GOLDEN_QUERIES[1], GOLDEN_QUERIES[6]],
+)
+def test_golden_query_role_boost_wand(spark, index_store, oracle_index, query):
+    """The WAND path's boost (codec v2 weight stream + per-block boosted
+    block-max bounds) must be rank- and score-identical to the boosted
+    DataFrame path and the boosted oracle on a role-mixed corpus."""
+    from search_engine_spark.analysis import analyze_query
+    from search_engine_spark.oracle import score_terms_boosted
+
+    terms = analyze_query(query)
+    exp = topk(score_terms_boosted(oracle_index, terms), K)
+    got = bm25_topk_wand(spark, index_store, terms, k=K, boost=True)
+    _assert_matches_oracle(got.collect(), exp, query)
+    df_rows = bm25_topk(spark, index_store, terms, k=K, boost=True).collect()
+    wd_rows = got.collect()
+    assert [(r["doc_id"], round(r["score"], 10)) for r in df_rows] == [
+        (r["doc_id"], round(r["score"], 10)) for r in wd_rows
+    ]
+
+
 def test_role_boost_changes_scores(spark, index_store, oracle_index):
     from search_engine_spark.analysis import analyze_query
 

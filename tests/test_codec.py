@@ -70,6 +70,31 @@ def test_block_directory_and_max_impact():
     assert (d_ids == ids[spike_block * 128:(spike_block + 1) * 128]).all()
 
 
+def test_weight_stream_roundtrip_and_gating():
+    rng = np.random.default_rng(3)
+    n = 300
+    ids = np.sort(rng.choice(10**6, n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, n)
+    dls = rng.integers(5, 50, n)
+    ws = rng.choice([1.0, 2.0, 3.0], n)
+    buf = encode_postings(ids, tfs, dls, 20.0, block_size=128, weights=ws)
+    seg = PostingSegment(buf)
+    assert seg.has_weights
+    got = np.concatenate([seg.block_weights(b) for b in range(seg.n_blocks)])
+    assert (got == ws).all()  # 1/16 quantization is exact for these
+    # per-block boosted bound dominates every weighted impact in the block
+    imps = bm25_impact(tfs, dls, 20.0) * ws
+    for b in range(seg.n_blocks):
+        lo, hi = b * 128, min((b + 1) * 128, n)
+        assert seg.wimpacts[b] >= imps[lo:hi].max() - 1e-12
+    # all-unit weights: stream omitted, zero size cost vs no weights at all
+    buf1 = encode_postings(ids, tfs, dls, 20.0, weights=np.ones(n))
+    buf2 = encode_postings(ids, tfs, dls, 20.0)
+    assert buf1 == buf2
+    assert not PostingSegment(buf1).has_weights
+    assert (PostingSegment(buf1).block_weights(0) == 1.0).all()
+
+
 def test_compression_beats_raw():
     rng = np.random.default_rng(7)
     ids = np.sort(rng.choice(10**9, 50_000, replace=False)).astype(np.int64)
@@ -89,20 +114,36 @@ def test_vectorized_segment_encode_byte_identical(spark):
 
     rng = np.random.default_rng(7)
     rows = []
-    # several groups incl. a multi-block one (300 postings > BLOCK_SIZE)
-    specs = [("alpha", 0, 300), ("alpha", 1, 5), ("beta", 0, 1), ("gamma", 2, 130)]
+    # several groups incl. a multi-block one (300 postings > BLOCK_SIZE),
+    # with and without non-unit role weights (weight stream present/absent)
+    specs = [
+        ("alpha", 0, 300, True), ("alpha", 1, 5, False),
+        ("beta", 0, 1, True), ("gamma", 2, 130, False),
+    ]
     expected = {}
-    for term, dr, cnt in specs:
+    for term, dr, cnt, weighted in specs:
         base = dr * 1000
         ids = np.sort(rng.choice(np.arange(base, base + 999), cnt, replace=False))
         tfs = rng.integers(1, 9, cnt)
         dls = rng.integers(5, 50, cnt)
-        expected[(term, dr)] = encode_postings(ids, tfs, dls, avgdl=20.0)
+        ws = (
+            rng.choice([1.0, 2.0, 3.0], cnt)
+            if weighted
+            else np.ones(cnt, dtype=np.float64)
+        )
+        expected[(term, dr)] = encode_postings(
+            ids, tfs, dls, avgdl=20.0, weights=ws
+        )
         rows += [
-            (term, int(i), int(t), int(d))
-            for i, t, d in zip(ids.tolist(), tfs.tolist(), dls.tolist())
+            (term, int(i), int(t), int(d), float(w * t))
+            for i, t, d, w in zip(
+                ids.tolist(), tfs.tolist(), dls.tolist(), ws.tolist()
+            )
         ]
-    df = spark.createDataFrame(rows, "term string, doc_id long, tf int, doc_len int")
+    df = spark.createDataFrame(
+        rows,
+        "term string, doc_id long, tf int, doc_len int, importance double",
+    )
     segs = encode_segments(df, avgdl=20.0, drange_span=1000, num_partitions=2).collect()
     assert len(segs) == len(specs)
     for r in segs:
