@@ -28,7 +28,7 @@ from .build import (
     encode_segments,
     term_bucket_col,
 )
-from .storage import IndexStore
+from .storage import SEGMENTS_DDL, IndexStore, _read_or_empty
 
 DEFAULT_DRANGE_SPAN = 1 << 16  # postings per term per range shard bound
 DEFAULT_N_CHUNKS = 4
@@ -179,7 +179,7 @@ def build_index(
         # measurably serialized the stage at high core counts, and the
         # read-back agg is a column-pruned local scan. Written AFTER the
         # chunk's _SUCCESS so chunk_done => both exist.
-        m = spark.read.parquet(chunk_path).agg(
+        m = _read_or_empty(spark, chunk_path, SEGMENTS_DDL).agg(
             F.count("*").alias("n_segments"),
             F.sum("df_local").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),

@@ -173,7 +173,9 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
         .write.mode("overwrite").partitionBy("tbucket").parquet(seg_tmp + "/chunk=0")
     )
     # metrics from the written chunk (no persisted blob copy — see builder)
-    m = spark.read.parquet(seg_tmp + "/chunk=0").agg(
+    from .storage import SEGMENTS_DDL, _read_or_empty
+
+    m = _read_or_empty(spark, seg_tmp + "/chunk=0", SEGMENTS_DDL).agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),

@@ -47,29 +47,64 @@ def _n_pos_buckets(store: IndexStore) -> int:
     return int(cstats.get("n_pos_buckets", cstats.get("n_buckets", 64)))
 
 
+def _term_bitmask_expr(all_terms: list[str]) -> F.Column:
+    """CASE mapping each term to its bit (terms are a tiny query-sized
+    set). bit_or of this per doc gives the doc's term-presence mask in ONE
+    plain hash aggregation — a conditional count_distinct here cost a
+    distinct-expand of the whole posting scan (measured 4.5 s of a 6 s
+    logical query at the 3.9M-turn index; the bitmask agg is <1 s)."""
+    expr = None
+    for i, t in enumerate(all_terms):
+        expr = (
+            F.when(F.col("term") == t, F.lit(1 << i))
+            if expr is None
+            else expr.when(F.col("term") == t, F.lit(1 << i))
+        )
+    return expr.otherwise(F.lit(0))
+
+
 def candidate_docs(
     spark: SparkSession, store: IndexStore, terms: list[str]
 ) -> DataFrame:
     """Docs containing ALL the given terms — computed on the COMPACT
     postings family (tbucket-pruned). The classic IR order of operations:
     intersect doc sets first, fetch/decode positions only for survivors."""
+    return candidate_docs_any(spark, store, [terms])
+
+
+def candidate_docs_any(
+    spark: SparkSession, store: IndexStore, term_sets: list[list[str]]
+) -> DataFrame:
+    """Docs containing ALL terms of ANY of the given term sets — the
+    candidate pool of a phrase or logical query, computed in ONE pruned
+    postings scan + ONE bitmask aggregation (no per-side scans, no
+    union+distinct, no count_distinct expand)."""
     from ..index.build import term_bucket_py
 
+    sets = [sorted(set(ts)) for ts in term_sets if ts]
+    all_terms = sorted({t for ts in sets for t in ts})
     # bucket count comes from the STORE's corpus stats, not the module
     # default — an index built with n_buckets != 64 would otherwise prune
     # the wrong partition dirs and silently return empty matches
     n_buckets = _n_pos_buckets(store)
-    uniq = sorted(set(terms))
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
-    return (
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    bit_of = {t: 1 << i for i, t in enumerate(all_terms)}
+    g = (
         store.postings(spark)
         .filter(F.col("tbucket").isin(buckets))
-        .filter(F.col("term").isin(uniq))
+        .filter(F.col("term").isin(all_terms))
+        .select("doc_id", _term_bitmask_expr(all_terms).alias("_bit"))
         .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("_nt"))
-        .filter(F.col("_nt") == len(uniq))
-        .select("doc_id")
+        .agg(F.bit_or("_bit").alias("_mask"))
     )
+    cond = None
+    for ts in sets:
+        side_mask = 0
+        for t in ts:
+            side_mask |= bit_of[t]
+        c = F.col("_mask").bitwiseAND(F.lit(side_mask)) == side_mask
+        cond = c if cond is None else (cond | c)
+    return g.filter(cond).select("doc_id")
 
 
 def positions_for(

@@ -79,14 +79,13 @@ def search(
             and (len(l_terms) > 1 or len(r_terms) > 1)
             and (l_terms or r_terms)
         ):
-            from .phrase import candidate_docs, partition_pos_rows, positions_for
+            from .phrase import candidate_docs_any, partition_pos_rows, positions_for
 
-            # keep only docs that can match EITHER side (union of the
-            # per-side all-terms candidate sets, from the compact postings)
+            # keep only docs that can match EITHER side — ONE pruned scan
+            # with per-side conditional distinct counts (was: two scans
+            # union'd + distinct'd, i.e. two shuffles of the same rows)
             sides = [t for t in (l_terms, r_terms) if t]
-            cand = candidate_docs(spark, store, sides[0])
-            for t in sides[1:]:
-                cand = cand.union(candidate_docs(spark, store, t)).distinct()
+            cand = candidate_docs_any(spark, store, sides)
             # lay the rows out for the adjacency kernel (doc_id partition +
             # sort) BEFORE the checkpoint: the materialized copy is already
             # kernel-ready, so BOTH phrase sides skip their own

@@ -143,7 +143,9 @@ def append_batch(
         .write.mode("overwrite").partitionBy("tbucket").parquet(chunk_path)
     )
     # metrics from the written chunk (no persisted blob copy — see builder)
-    m = spark.read.parquet(chunk_path).agg(
+    from ..index.storage import SEGMENTS_DDL, _read_or_empty
+
+    m = _read_or_empty(spark, chunk_path, SEGMENTS_DDL).agg(
         F.count("*").alias("n_segments"),
         F.sum("df_local").alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),

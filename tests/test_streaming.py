@@ -73,3 +73,46 @@ def test_incremental_rank_identity(spark, appended_store, query, engine):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (d, round(s, 9)) for d, s in exp
     ]
+
+
+def test_direct_and_stream_prefixes_do_not_collide(spark, tmp_path):
+    """A direct append_batch (batch_id=None) publishes under 'c<chunk>-';
+    a stream batch under 'b<id>-'. With one shared namespace (pre-round-3),
+    a stream replay's unpublish could delete a direct append's
+    already-published files when chunk numbers and batch_ids advanced onto
+    the same small integers."""
+    from search_engine_spark.streaming.incremental import append_batch
+
+    full = generate_pandas(24, seed=7)
+    base = full[full["conv_id"] < "conv_00000008"]
+    mid = full[
+        (full["conv_id"] >= "conv_00000008")
+        & (full["conv_id"] < "conv_00000016")
+    ]
+    rest = full[full["conv_id"] >= "conv_00000016"]
+
+    ix = str(tmp_path / "ix")
+    store = build_index(
+        spark, spark.createDataFrame(base), ix, drange_span=64, n_chunks=1
+    )
+    # direct append -> chunk 1, prefix c1-
+    append_batch(spark, store, spark.createDataFrame(mid))
+    n_after_direct = store.corpus_stats()["n_docs"]
+    # stream-style append with batch_id=1 (same small integer) -> prefix b1-
+    append_batch(spark, store, spark.createDataFrame(rest), batch_id=1)
+    assert store.corpus_stats()["n_docs"] == len(full)
+    # replaying the SAME stream batch must be a committed no-op AND must
+    # not have unpublished the direct append's c1- files
+    append_batch(spark, store, spark.createDataFrame(rest), batch_id=1)
+    assert store.corpus_stats()["n_docs"] == len(full)
+    assert store.docs(spark).count() == len(full)
+    assert n_after_direct == len(base) + len(mid)
+
+    # rank identity vs a fresh full build proves no files were lost
+    oix = build_oracle_index(full)
+    for q in QUERIES:
+        exp = topk(score_query(oix, q), 10)
+        got = search(spark, store, q, k=10, with_metadata=False).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+            (d, round(s, 9)) for d, s in exp
+        ], q
