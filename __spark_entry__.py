@@ -311,6 +311,38 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _en_bigram_sql() -> str:
+    """DuckDB twin of textstats.en_bigram_score: the deterministic bigram
+    log-probability table (derived from the bundled stopword lexicon) is
+    INLINED as a VALUES list — repr() round-trips float64 exactly, the
+    same trick as the LSH planes."""
+    from search_engine_spark.functions.textstats import en_bigram_table
+
+    table, unseen = en_bigram_table()
+    vals = ",\n".join(f"('{bg}', {lp!r})" for bg, lp in table.items())
+    return f"""
+WITH bg(b, lp) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS b2
+  FROM tok, unnest(range(1, CAST(length(t) AS BIGINT))) AS r(i)
+  WHERE length(t) >= 2
+),
+scored AS (
+  SELECT p.doc_id, coalesce(bg.lp, {unseen!r}) AS lp
+  FROM pairs p LEFT JOIN bg ON bg.b = p.b2
+)
+SELECT d.doc_id,
+       count(s.lp) AS n_bigrams,
+       round(coalesce(avg(s.lp), {unseen!r}), 6) AS en_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def _lsh_plane_values(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
     import numpy as np
 
@@ -731,6 +763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["token_counts"] = q(lambda s, d: textstats.token_counts(_docs(s, d)))
     out["quality_scores"] = q(lambda s, d: textstats.quality_scores(_docs(s, d)))
     out["lang_id"] = q(lambda s, d: textstats.lang_id(_docs(s, d)))
+    # bigram language model score (lookup table inlined into the oracle SQL
+    # the same way as the LSH planes)
+    out["en_bigram_score"] = q(
+        lambda s, d: textstats.en_bigram_score(_docs(s, d))
+    )
     out["fingerprints"] = q(lambda s, d: textstats.fingerprints(_docs(s, d)))
 
     # --- similarity search --------------------------------------------------
@@ -1123,6 +1160,7 @@ SELECT doc_id,
            regexp_extract_all(lower(text), '[a-z]+'))), ' ')) AS fingerprint
 FROM documents
 """
+    sql["en_bigram_score"] = _en_bigram_sql()
 
     sql["cosine_topk"] = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

@@ -93,8 +93,18 @@ def run_level(cores: int, corpus_full, corpus_cal, corpus_warm, ix_dir,
             # whole harness past a degraded-window budget.
             "--full-repeats", str(repeats),
         ],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the worker's tail for debuggability, then let the caller's
+        # retry loop treat this attempt as failed (severely degraded host
+        # windows have killed workers outright)
+        print(
+            f"[bench] worker cores={cores} failed rc={out.returncode}:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:]),
+            file=sys.stderr, flush=True,
+        )
+        raise RuntimeError(f"bench worker failed (cores={cores})")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -188,13 +198,23 @@ def _window_ok(probes: list[float]) -> bool:
 def measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full):
     attempts = []
     for i in range(MAX_SCALING_ATTEMPTS):
-        p0 = host_probe()
-        hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm,
-                       f"{TMP_BASE}/bench_ix_hi", repeats=2)
-        p1 = host_probe()
-        lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm,
-                       f"{TMP_BASE}/bench_ix_lo", repeats=1)
-        p2 = host_probe()
+        try:
+            p0 = host_probe()
+            hi = run_level(HI_CPUS, corpus_full, corpus_cal, corpus_warm,
+                           f"{TMP_BASE}/bench_ix_hi", repeats=2)
+            p1 = host_probe()
+            lo = run_level(LO_CPUS, corpus_full, corpus_cal, corpus_warm,
+                           f"{TMP_BASE}/bench_ix_lo", repeats=1)
+            p2 = host_probe()
+        except RuntimeError as e:
+            # a crashed worker (host contention can kill them) burns the
+            # attempt, not the harness — unless no attempt ever succeeds
+            print(f"[bench] attempt {i + 1} failed: {e}", file=sys.stderr,
+                  flush=True)
+            if i + 1 == MAX_SCALING_ATTEMPTS and not attempts:
+                raise
+            time.sleep(60)
+            continue
         bw = membw_scaling(LO_CPUS, HI_CPUS)
         thr_hi, thr_lo = n_full / hi["t_full"], n_full / lo["t_full"]
         eff = (thr_hi / thr_lo) / (HI_CPUS / LO_CPUS)
@@ -291,7 +311,12 @@ def main() -> None:
     build_index(spark, spark.read.parquet(corpus_query), qix, n_chunks=1)
     qstore = IndexStore(qix)
     queries, p95 = _time_query_set(spark, qstore, repeats=3)
-    big_store = IndexStore(f"{TMP_BASE}/bench_ix_hi")
+    big_ix = f"{TMP_BASE}/bench_ix_hi"
+    big_store = IndexStore(big_ix)
+    if not big_store.corpus_stats_path.exists() or not big_store.chunk_done(0):
+        # a crashed final scaling attempt can leave a partial dir — rebuild
+        shutil.rmtree(big_ix, ignore_errors=True)
+        build_index(spark, spark.read.parquet(corpus_full), big_ix, n_chunks=1)
     queries_at_scale, p95_at_scale = _time_query_set(spark, big_store, repeats=1)
     manifests = big_store.manifests()
     spark.stop()

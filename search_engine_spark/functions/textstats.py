@@ -87,6 +87,79 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
 
 
+def en_bigram_table() -> tuple[dict[str, float], float]:
+    """Deterministic English character-bigram log-probability table, built
+    from the bundled public stopword lexicon (Laplace-smoothed over the
+    26x26 bigram space). Self-contained — no external model — and small
+    enough to inline into both a Catalyst literal map and a DuckDB VALUES
+    table (the LSH-planes trick). Returns (table, unseen_logp)."""
+    import math
+    from collections import Counter
+
+    c: Counter = Counter()
+    for w in sorted(STOPWORDS):
+        for i in range(len(w) - 1):
+            bg = w[i:i + 2]
+            if bg.isalpha():
+                c[bg] += 1
+    total = sum(c.values())
+    v = 26 * 26
+    table = {
+        bg: math.log((n + 1.0) / (total + v)) for bg, n in sorted(c.items())
+    }
+    return table, math.log(1.0 / (total + v))
+
+
+def en_bigram_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, en_logp) — mean log-probability of the doc's
+    character bigrams under the English bigram model (en_bigram_table).
+    English-like text scores high; random letter strings score near the
+    unseen-bigram floor. Continuous score by design (no threshold label —
+    a boundary doc would make the oracle comparison flaky); compose with
+    ``lang_id`` for a hard decision.
+
+    Fully Catalyst-side: tokens -> per-token bigrams via transform/sequence,
+    table lookup via a literal map (no join, no UDF) — scale-safe."""
+    table, unseen = en_bigram_table()
+    map_args = []
+    for bg, lp in table.items():
+        map_args += [F.lit(bg), F.lit(lp)]
+    lp_map = F.create_map(*map_args)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    bgs = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.length("tok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                ),
+            )
+        ).alias("bg"),
+    )
+    scored = bgs.withColumn(
+        "lp",
+        F.when(
+            F.col("bg").isNotNull(),
+            F.coalesce(lp_map[F.col("bg")], F.lit(unseen)),
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("lp").alias("n_bigrams"),
+            F.round(F.coalesce(F.avg("lp"), F.lit(unseen)), 6).alias("en_logp"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fingerprint) — order-insensitive content fingerprint:
     sha256 over the sorted distinct lowercase alpha tokens. Near-duplicate

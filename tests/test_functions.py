@@ -240,3 +240,39 @@ def test_ivf_kmeans_recall(spark):
     # probing ONE of four kmeans cells on well-separated blobs: high recall
     assert len(set(exact) & set(approx)) >= 8
     assert approx[0] == exact[0] == 11
+
+
+def test_en_bigram_score_separates_english_from_noise(spark):
+    from search_engine_spark.functions.textstats import (
+        en_bigram_score,
+        en_bigram_table,
+    )
+
+    table, unseen = en_bigram_table()
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and then some"),
+            (1, "xqzj vkwx qqzx jjxq zzvq xkqj"),      # unseen-bigram noise
+            (2, ""),                                    # no tokens at all
+            (3, "a b c d e"),                           # only 1-char tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in en_bigram_score(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # English-like text scores well above the noise string
+    assert rows[0]["en_logp"] > rows[1]["en_logp"] + 1.0
+    # degenerate docs fall back to the unseen floor with zero bigrams
+    for d in (2, 3):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["en_logp"] == pytest.approx(round(unseen, 6))
+    # bigram count: sum over tokens of len-1
+    assert rows[1]["n_bigrams"] == sum(len(t) - 1 for t in
+                                       "xqzj vkwx qqzx jjxq zzvq xkqj".split())
+    # spot-check one doc's mean against the python table
+    toks = "the quick brown fox jumps over the lazy dog and then some".split()
+    lps = [
+        table.get(t[i:i + 2], unseen)
+        for t in toks for i in range(len(t) - 1)
+    ]
+    assert rows[0]["en_logp"] == pytest.approx(round(sum(lps) / len(lps), 6), abs=2e-6)
