@@ -57,10 +57,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # no-stem analyzer: lowercase alpha runs, len>1, not stopword; pos = ordinal
-# over the SURVIVING stream (Indexer.java:231-247 semantics)
-_KEPT_CTE = f"""
+# over the SURVIVING stream (Indexer.java:231-247 semantics).
+# ``where`` restricts the corpus (the compaction oracle scores the
+# surviving docs only — compaction restores exact global stats, so the
+# oracle is a plain build over the filtered table).
+
+
+def _kept_cte(where: str = "") -> str:
+    src = f"(SELECT * FROM documents WHERE {where})" if where else "documents"
+    return f"""
 raw AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr FROM {src} AS docs_src
 ),
 tok AS (
   SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS opos FROM raw
@@ -73,12 +80,19 @@ kept AS (
 )
 """
 
-_DL_CTE = """
+
+def _dl_cte(where: str = "") -> str:
+    src = f"(SELECT * FROM documents WHERE {where})" if where else "documents"
+    return f"""
 dl AS (
   SELECT d.doc_id, count(k.term) AS doc_len
-  FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id
+  FROM {src} d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id
 )
 """
+
+
+_KEPT_CTE = _kept_cte()
+_DL_CTE = _dl_cte()
 
 
 def _values_terms(terms: list[str]) -> str:
@@ -88,13 +102,15 @@ def _values_terms(terms: list[str]) -> str:
     return ", ".join(f"('{t}', {float(n)})" for t, n in sorted(c.items()))
 
 
-def _bm25_sql(terms: list[str], k: int, boost_mult: float = 1.0) -> str:
+def _bm25_sql(terms: list[str], k: int, boost_mult: float = 1.0,
+              where: str = "") -> str:
     """``boost_mult``: constant role-weight multiplier — every documents-table
     row is indexed as role='user' (weight 3.0), so the boosted engine path's
-    oracle is the plain BM25 scores x3."""
+    oracle is the plain BM25 scores x3. ``where`` restricts the corpus
+    (compaction oracle)."""
     in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     return f"""
-WITH {_KEPT_CTE}, {_DL_CTE},
+WITH {_kept_cte(where)}, {_dl_cte(where)},
 stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM kept
@@ -636,20 +652,18 @@ def _index_logical(op: str):
     return run
 
 
-def _index_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-append engine, hash-checked end-to-end: build the no-stem
-    index from the FIRST HALF of the documents table, append the second half
-    via ``append_batch`` (staged batch-prefixed publish + ledger + new
-    segment chunk + avgdl-drift-scaled WAND bounds), then query through the
-    WAND path. The final state equals a full build, so the oracle is the
-    same ``_bm25_sql``. conv_id = lpad(doc_id) keeps assigned ids == table
-    ids across both the base build and the append (append base = n_docs =
-    half, second half ascending)."""
+def _appended_store(spark: SparkSession, sf_dir: str):
+    """Memoized half-build + streaming-append store over the documents
+    table: build the no-stem index from the FIRST HALF, append the second
+    half via ``append_batch`` (staged batch-prefixed publish + ledger + new
+    segment chunk + avgdl-drift-scaled WAND bounds). The final state equals
+    a full build, so full-corpus oracles apply. conv_id = lpad(doc_id)
+    keeps assigned ids == table ids across both the base build and the
+    append (append base = n_docs = half, second half ascending)."""
     import hashlib
 
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.index.storage import IndexStore
-    from search_engine_spark.query.wand import bm25_topk_wand
     from search_engine_spark.streaming.incremental import append_batch
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -663,6 +677,67 @@ def _index_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         rest = _docs_as_transcripts(docs.filter(F.col("doc_id") >= n // 2))
         store = build_index(spark, half, d, n_chunks=2, stem=False)
         append_batch(spark, store, rest)
+        done.touch()
+
+    _locked_build(done, Path(d + ".lock"), build)
+    return IndexStore(d)
+
+
+def _index_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-append engine, hash-checked end-to-end through the WAND
+    path (see ``_appended_store``)."""
+    from search_engine_spark.query.wand import bm25_topk_wand
+
+    res = bm25_topk_wand(spark, _appended_store(spark, sf_dir), _Q_TERMS, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _index_phrase_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-family streaming parity (VERDICT r3 next #8): the exact
+    phrase query via the PRODUCTION kernel (candidate bitmask + adjacency
+    kernel, query/phrase.py) over the half-build + append store — appended
+    chunks' positional rows must interleave correctly with the base
+    build's. Oracle: same ``_phrase_sql`` as ``index_phrase_match``."""
+    from search_engine_spark.query.phrase import phrase_matches
+
+    store = _appended_store(spark, sf_dir)
+    return phrase_matches(spark, store, _PHRASE_TERMS).select(
+        "doc_id", "phrase_count"
+    )
+
+
+_COMPACT_PRED_SPARK = "doc_id % 7 = 3"  # the VICTIMS (SQL-string: a Column
+# literal here would need an active SparkContext at import time)
+_COMPACT_PRED_SQL = "doc_id % 7 <> 3"  # the SURVIVORS
+
+
+def _index_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete/compaction engine end-to-end (VERDICT r3 next #4): fresh
+    no-stem build over the documents table, ``mark_deleted`` every
+    doc_id % 7 == 3 (a deterministic dedup-pass stand-in, passed as a
+    DataFrame), ``compact()`` (physical rewrite + exact stat recount — the
+    reference's Indexer.java:744-764 semantics), then query through WAND.
+    Compaction restores exact global statistics, so the oracle is
+    ``_bm25_sql`` over the surviving docs only."""
+    import hashlib
+
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.index.deletes import compact, mark_deleted
+    from search_engine_spark.index.storage import IndexStore
+    from search_engine_spark.query.wand import bm25_topk_wand
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.environ.get("SPARK_GRAFT_CIX", "/tmp/se_entry_docs_ixcomp") + f"_v1_{h}"
+    done = Path(d) / "_ENTRY_DONE"
+
+    def build():
+        store = build_index(
+            spark, _docs_as_transcripts(_docs(spark, sf_dir)), d,
+            n_chunks=2, stem=False,
+        )
+        victims = _docs(spark, sf_dir).filter(_COMPACT_PRED_SPARK).select("doc_id")
+        mark_deleted(spark, store, victims)
+        compact(spark, store)
         done.touch()
 
     _locked_build(done, Path(d + ".lock"), build)
@@ -839,8 +914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["index_phrase_match"] = q(_index_phrase_match)
     for op in ("AND", "OR", "NOT"):
         out[f"index_logical_{op.lower()}"] = q(_index_logical(op))
-    # streaming append engine end-to-end (half build + append_batch + WAND)
+    # streaming append engine end-to-end (half build + append_batch + WAND);
+    # the phrase twin checks the POSITIONAL family interleaves correctly
     out["index_bm25_appended"] = q(_index_bm25_appended)
+    out["index_phrase_appended"] = q(_index_phrase_appended)
+    # delete -> compact -> query (tombstones, physical rewrite, exact
+    # stat recount) hash-checked end-to-end
+    out["index_bm25_compacted"] = q(_index_bm25_compacted)
 
     # --- full stemmed engine over transcripts (rows-only; pytest holds the
     #     rank-identity gate for these) -------------------------------------
@@ -1063,6 +1143,11 @@ FROM tf GROUP BY term
     sql["index_bm25_boosted_wand"] = _bm25_sql(_Q_TERMS, K, boost_mult=3.0)
     # a half-build + append_batch equals a full build -> same oracle
     sql["index_bm25_appended"] = _bm25_sql(_Q_TERMS, K)
+    sql["index_phrase_appended"] = _phrase_sql(_PHRASE_TERMS)
+    # compaction restores exact stats -> plain build over the survivors
+    sql["index_bm25_compacted"] = _bm25_sql(
+        _Q_TERMS, K, where=_COMPACT_PRED_SQL
+    )
     sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     for op in ("AND", "OR", "NOT"):
         sql[f"index_logical_{op.lower()}"] = _logical_sql(op, K)

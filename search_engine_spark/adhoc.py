@@ -34,31 +34,44 @@ def tokens_udf(stem: bool):
 # (session, docs plan, stem) — repeated ad-hoc queries over the same corpus
 # reuse it instead of stacking a new CacheManager entry per call (the
 # analyzer UDF is the dominant cost of an index-free query). Bounded LRU;
-# evicted entries are unpersisted.
-_TOK_CACHE: dict[tuple, DataFrame] = {}
+# evicted entries are unpersisted. Entries store the SOURCE DataFrame next
+# to the analyzed one: semanticHash is a 32-bit plan hash, so a hit is
+# confirmed with sameSemantics before being served — a hash collision
+# between two different docs plans must not silently return the wrong
+# cached corpus.
+_TOK_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _TOK_CACHE_MAX = 4
 
 
 def analyzed_cached(docs: DataFrame, stem: bool) -> DataFrame:
     """Persisted (doc_id, terms) for a corpus, memoized on the docs plan's
-    semantic hash so repeat calls share a single cache entry."""
+    semantic hash (collision-checked via sameSemantics) so repeat calls
+    share a single cache entry."""
     key = (docs.sparkSession.sparkContext.applicationId,
            docs.semanticHash(), stem)
-    hit = _TOK_CACHE.pop(key, None)
-    if hit is not None:
-        _TOK_CACHE[key] = hit  # re-insert -> most recently used
-        return hit
+    entry = _TOK_CACHE.pop(key, None)
+    if entry is not None:
+        source, hit = entry
+        if docs.sameSemantics(source):
+            _TOK_CACHE[key] = entry  # re-insert -> most recently used
+            return hit
+        # 32-bit hash collision with a DIFFERENT plan: drop the stale
+        # entry and rebuild below (correctness over cache residency)
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
     ana = docs.select(
         F.col("doc_id"), tokens_udf(stem)(F.col("text")).alias("terms")
     ).persist()
     while len(_TOK_CACHE) >= _TOK_CACHE_MAX:
         oldest = next(iter(_TOK_CACHE))  # insertion order = LRU order
-        old = _TOK_CACHE.pop(oldest)
+        _, old = _TOK_CACHE.pop(oldest)
         try:
             old.unpersist()
         except Exception:
             pass  # session of the evicted entry may already be stopped
-    _TOK_CACHE[key] = ana
+    _TOK_CACHE[key] = (docs, ana)
     return ana
 
 

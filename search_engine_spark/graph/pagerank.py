@@ -40,12 +40,17 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
-    # nodes with no out-edges contribute dangling mass; detect once
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
-    ).persist()
-    has_dangling = dangling_nodes.limit(1).count() > 0
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    # flag dangling nodes (no out-edges) once: the per-iteration dangling
+    # mass then falls out of the same aggregation pass as the L1 total
+    nodes_f = nodes.join(
+        out_deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+        "node",
+        "left",
+    ).select("node", F.col("_has_out").isNull().alias("is_dangling")).persist()
+    n_dangling = nodes_f.filter("is_dangling").count()
+    # uniform init -> iteration 0's dangling mass is known without a scan
+    dangling = n_dangling / n * 1.0
+    ranks = nodes_f.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
 
     for it in range(max_iter):
         prev = ranks
@@ -59,39 +64,46 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        # dangling mass redistributed uniformly (PageRank.java:46-50);
-        # skipped entirely when the graph has no dangling nodes
-        dangling = 0.0
-        if has_dangling:
-            dangling = (
-                dangling_nodes.join(prev, "node").agg(F.sum("rank")).collect()[0][0]
-                or 0.0
-            )
+        # dangling mass redistributed uniformly (PageRank.java:46-50)
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        # L1 normalize (PageRank.java:65-69); localCheckpoint truncates the
-        # per-iteration lineage so plans stay O(1) deep
-        new_ranks = new_ranks.localCheckpoint()
-        total = new_ranks.agg(F.sum("rank")).collect()[0][0]
-        new_ranks = new_ranks.withColumn(
-            "rank", F.col("rank") / F.lit(total)
-        ).localCheckpoint()
-        ranks = new_ranks
-        # convergence on max |delta| (PageRank.java:85-95); with epsilon<=0
-        # the caller wants exactly max_iter iterations (oracle parity mode)
-        if epsilon > 0:
-            delta = (
-                new_ranks.alias("n")
-                .join(prev.alias("p"), "node")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("p.rank"))))
-                .collect()[0][0]
+        new_ranks = (
+            nodes_f.join(contribs, "node", "left")
+            .join(prev.withColumnRenamed("rank", "prev_rank"), "node")
+            .select(
+                "node",
+                "is_dangling",
+                "prev_rank",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
             )
+        )
+        # ONE action per iteration: the lazy localCheckpoint materializes on
+        # the agg below (truncating lineage), and that single pass yields the
+        # L1 total (PageRank.java:65-69), the NEXT iteration's dangling mass
+        # (PageRank.java:46-50), and the convergence delta (PageRank.java:
+        # 85-95) together — previously three separate driver actions.
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+        row = new_ranks.agg(
+            F.sum("rank").alias("total"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0))
+            .alias("dangling"),
+            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+        ).collect()[0]
+        total = float(row["total"] or 1.0)
+        dangling = float(row["dangling"] or 0.0) / total
+        ranks = new_ranks.select(
+            "node", (F.col("rank") / F.lit(total)).alias("rank")
+        )
+        # convergence on max |delta| vs the pre-normalization ranks: the
+        # update conserves mass exactly ((1-d) + d*(edge + dangling mass)),
+        # so |total - 1| is float roundoff (~n*eps) and the delta differs
+        # from the reference's post-normalization delta by O(rank*eps) —
+        # far below any meaningful epsilon. With epsilon<=0 the caller
+        # wants exactly max_iter iterations (oracle parity mode).
+        if epsilon > 0:
+            delta = row["delta"]
             if delta is not None and delta < epsilon:
                 break
     return ranks

@@ -232,9 +232,19 @@ class PostingSegment:
                  "block_ns", "_gaps", "_tfs", "_dls", "_ws")
 
     def __init__(self, buf: bytes):
-        magic, n, base, n_blocks, flags = _HEADER.unpack_from(buf, 0)
-        if magic != MAGIC:
+        # magic sits at offset 0 in every codec version — check it before
+        # unpacking the (version-specific) rest of the header so a v1
+        # segment fails with an actionable message, not a struct error
+        if len(buf) < 4 or struct.unpack_from("<I", buf, 0)[0] != MAGIC:
+            old = struct.unpack_from("<I", buf, 0)[0] if len(buf) >= 4 else None
+            if old == 0x5345_4721:  # codec v1 ("SEG!" v1)
+                raise ValueError(
+                    "segment encoded with codec v1 — rebuild or compact the "
+                    "index with this version (codec v2 adds a widened "
+                    "header/directory and an optional weight stream)"
+                )
             raise ValueError("bad segment magic")
+        magic, n, base, n_blocks, flags = _HEADER.unpack_from(buf, 0)
         self.n, self.base, self.n_blocks, self.flags = n, base, n_blocks, flags
         off = _HEADER.size
         self.last_doc_ids = np.empty(n_blocks, dtype=np.int64)

@@ -117,12 +117,14 @@ def bm25_topk(
         expr = expr * (F.col("importance") / F.col("tf"))
     scored = cand.withColumn("term_score", expr)
     agg = scored.groupBy("doc_id").agg(_term_sorted_sum().alias("score"))
-    from ..index.deletes import live_filter
+    from ..index.deletes import live_filter, topk_live
 
-    agg = live_filter(spark, store, agg)
     if k is None:
-        return agg
-    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # logical-op operand: every live row is needed downstream
+        return live_filter(spark, store, agg)
+    # top-k: bloom-split single-job protocol — the candidate set is never
+    # joined against the tombstone table (see deletes.topk_live)
+    return topk_live(spark, store, agg, k)
 
 
 def tfidf_topk(
@@ -149,7 +151,7 @@ def tfidf_topk(
     )
     if boost:
         rel = rel * (F.col("importance") / F.col("tf"))
-    from ..index.deletes import live_filter
+    from ..index.deletes import topk_live
 
     agg = (
         cand.withColumn("term_score", rel)
@@ -158,6 +160,6 @@ def tfidf_topk(
             (0.7 * _term_sorted_sum() + 0.3 * F.lit(popularity)).alias("score")
         )
     )
-    # tombstoned docs are anti-filtered at serve time, like every query path
-    agg = live_filter(spark, store, agg)
-    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # tombstoned docs are anti-filtered at serve time, like every query
+    # path — via the bloom-split top-k (no candidate/tombstone join)
+    return topk_live(spark, store, agg, k)

@@ -131,23 +131,30 @@ def positions_for(
     return rows
 
 
-def _match_kernel(terms: list[str]):
+def _match_kernel_multi(sides: list[list[str]]):
     """mapInPandas kernel over doc_id-partitioned position rows: emits
-    (doc_id, phrase_count, doc_len) for docs containing the exact phrase.
-    Adjacency is fully vectorized; a doc's rows never split across workers
-    (hash partition on doc_id) and batch splits are handled by carrying the
-    trailing doc's rows into the next batch."""
-    uniq = sorted(set(terms))
-    n_uniq = len(uniq)
-    code_of = {t: i for i, t in enumerate(uniq)}
-    phrase_codes = [code_of[t] for t in terms]
+    (side, doc_id, phrase_count, doc_len) for each side (an exact phrase)
+    matched in the batch. Adjacency is fully vectorized; a doc's rows never
+    split across workers (hash partition on doc_id) and batch splits are
+    handled by carrying the trailing doc's rows into the next batch.
+
+    All sides of a logical query are matched in ONE pass over the shared
+    position rows: each row's varbyte blob is decoded at most ONCE even
+    when both sides use it (r3 ran one kernel pass per side over an eagerly
+    checkpointed superset — two decodes, plus a full materialization of the
+    position rows; at the 3.9M-turn index that checkpoint was the dominant
+    cost of a logical query)."""
+    all_terms = sorted({t for ts in sides for t in ts})
+    code_of = {t: i for i, t in enumerate(all_terms)}
+    n_codes = len(all_terms)
+    side_codes = [[code_of[t] for t in ts] for ts in sides]  # phrase order
+    side_sets = [np.array(sorted(set(cs)), dtype=np.int64) for cs in side_codes]
 
     from ..index.codec import varbyte_decode
 
     def match(batches):
         def process(pdf: pd.DataFrame):
-            # a shared pos_rows superset (logical query) may carry the OTHER
-            # side's terms — restrict to this phrase's terms first
+            # the pos_rows superset may carry terms of other sides only
             pdf = pdf[pdf["term"].isin(code_of)]
             if len(pdf) == 0:
                 return None
@@ -155,25 +162,30 @@ def _match_kernel(terms: list[str]):
             tfs = pdf["tf"].to_numpy(np.int64)
             dls = pdf["doc_len"].to_numpy(np.int64)
             codes = pdf["term"].map(code_of).to_numpy(np.int64)
-            # docs with all terms present: rows are (term, doc) unique, so
-            # a doc qualifies iff it has n_uniq rows here
             order = np.argsort(ids, kind="stable")
             ids_s, tfs_s, codes_s, dls_s = (
                 ids[order], tfs[order], codes[order], dls[order],
             )
-            uniq_ids, counts = np.unique(ids_s, return_counts=True)
-            ok_docs = uniq_ids[counts == n_uniq]
-            keep = np.isin(ids_s, ok_docs)
-            if not keep.any():
+            # per-doc term-presence matrix: rows are (term, doc) unique, so
+            # side s qualifies a doc iff all of s's codes are present
+            uniq_ids = np.unique(ids_s)
+            doc_idx = np.searchsorted(uniq_ids, ids_s)
+            pres = np.zeros((uniq_ids.size, n_codes), dtype=bool)
+            pres[doc_idx, codes_s] = True
+            keep_any = np.zeros(ids_s.size, dtype=bool)
+            side_row_masks = []
+            for cs in side_sets:
+                rmask = pres[:, cs].all(axis=1)[doc_idx] & np.isin(codes_s, cs)
+                side_row_masks.append(rmask)
+                keep_any |= rmask
+            if not keep_any.any():
                 return None
-            ids_k, tfs_k, codes_k, dls_k = (
-                ids_s[keep], tfs_s[keep], codes_s[keep], dls_s[keep],
-            )
-            # ONE varbyte decode for the whole batch (streams concatenate);
-            # rows must be concatenated in the kept order
-            blob = b"".join(
-                bytes(b) for b, k in zip(pdf["positions"].iloc[order], keep) if k
-            )
+            kept_idx = np.nonzero(keep_any)[0]
+            ids_k, tfs_k = ids_s[kept_idx], tfs_s[kept_idx]
+            # ONE varbyte decode for every kept row (streams concatenate);
+            # rows used by both sides decode once
+            pos_sorted = pdf["positions"].to_numpy()[order]
+            blob = b"".join(bytes(pos_sorted[i]) for i in kept_idx)
             pos = varbyte_decode(blob, int(tfs_k.sum()))
             # margin of 64 keeps starts + i (i < phrase length) from
             # carrying across the doc_id bit boundary too
@@ -186,30 +198,42 @@ def _match_kernel(terms: list[str]):
                     f"position {int(pos.max())} >= 2^{_POS_BITS} - 64; "
                     "doc too long for the composite phrase key"
                 )
-            row_of = np.repeat(np.arange(ids_k.size), tfs_k)
-            key = (ids_k[row_of] << _POS_BITS) | pos
-            kcode = codes_k[row_of]
-            per_code = [key[kcode == c] for c in range(n_uniq)]
-            # chain: start positions from term 0, each next term must have
-            # a position at start + i (same doc -> same key block)
-            starts = per_code[phrase_codes[0]]
-            for i, c in enumerate(phrase_codes[1:], start=1):
+            row_of = np.repeat(np.arange(kept_idx.size), tfs_k)
+            key_all = (ids_k[row_of] << _POS_BITS) | pos
+            kcode_all = codes_s[kept_idx][row_of]
+            # doc_len lookup over the batch's docs (first row per doc)
+            first = np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+            dl_ids, dl_dls = ids_s[first], dls_s[first]
+            outs = []
+            for si, cs in enumerate(side_codes):
+                pmask = side_row_masks[si][kept_idx][row_of]
+                key = key_all[pmask]
+                kc = kcode_all[pmask]
+                per_code = {c: key[kc == c] for c in set(cs)}
+                # chain: start positions from term 0, each next term must
+                # have a position at start + i (same doc -> same key block)
+                starts = per_code[cs[0]]
+                for i, c in enumerate(cs[1:], start=1):
+                    if starts.size == 0:
+                        break
+                    starts = starts[np.isin(starts + i, per_code[c])]
                 if starts.size == 0:
-                    break
-                starts = starts[np.isin(starts + i, per_code[c])]
-            if starts.size == 0:
+                    continue
+                mdoc, mcnt = np.unique(starts >> _POS_BITS, return_counts=True)
+                dl_idx = np.searchsorted(dl_ids, mdoc)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "side": np.full(mdoc.size, si, dtype=np.int32),
+                            "doc_id": mdoc,
+                            "phrase_count": mcnt.astype(np.int64),
+                            "doc_len": dl_dls[dl_idx].astype(np.int64),
+                        }
+                    )
+                )
+            if not outs:
                 return None
-            mdoc, mcnt = np.unique(starts >> _POS_BITS, return_counts=True)
-            dl_map_ids = ids_k[np.concatenate(([True], ids_k[1:] != ids_k[:-1]))]
-            dl_map_dls = dls_k[np.concatenate(([True], ids_k[1:] != ids_k[:-1]))]
-            dl_idx = np.searchsorted(dl_map_ids, mdoc)
-            return pd.DataFrame(
-                {
-                    "doc_id": mdoc,
-                    "phrase_count": mcnt.astype(np.int64),
-                    "doc_len": dl_map_dls[dl_idx].astype(np.int64),
-                }
-            )
+            return pd.concat(outs, ignore_index=True)
 
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -242,6 +266,45 @@ def partition_pos_rows(spark: SparkSession, rows: DataFrame) -> DataFrame:
     return rows.repartition(n_parts, "doc_id").sortWithinPartitions("doc_id")
 
 
+def phrase_matches_multi(
+    spark: SparkSession,
+    store: IndexStore,
+    sides: list[list[str]],
+    pos_rows: DataFrame | None = None,
+    pos_rows_partitioned: bool = False,
+) -> DataFrame:
+    """Match SEVERAL exact phrases in one kernel pass ->
+    (side, doc_id, phrase_count, doc_len), side = index into ``sides``.
+
+    This is the logical-query serve path: one pruned positional scan for
+    the union of all sides' terms, one doc_id layout, one decode, one
+    tombstone anti-filter — the per-side work shares everything except the
+    adjacency chain itself."""
+    from ..index.deletes import live_filter
+
+    if pos_rows is None:
+        all_terms = sorted({t for ts in sides for t in ts})
+        pos_rows = positions_for(
+            spark, store, all_terms,
+            candidates=candidate_docs_any(spark, store, sides),
+        )
+        pos_rows_partitioned = False  # fresh scan always needs the layout
+    # The doc_id partition+sort is LOAD-BEARING: the kernel requires a
+    # doc's rows to be contiguous in the partition stream (its carry only
+    # saves the batch's trailing doc_id). A doc's term-rows arrive from
+    # different tbucket scan tasks, so after a hash shuffle alone they sit
+    # in different fetched blocks; once a partition spans multiple Arrow
+    # batches an unsorted doc would be split across non-adjacent batches
+    # and its matches silently dropped (tests/test_phrase_kernel.py).
+    if not pos_rows_partitioned:
+        pos_rows = partition_pos_rows(spark, pos_rows)
+    matched = pos_rows.mapInPandas(
+        _match_kernel_multi(sides),
+        schema="side int, doc_id long, phrase_count long, doc_len long",
+    )
+    return live_filter(spark, store, matched)
+
+
 def phrase_matches(
     spark: SparkSession,
     store: IndexStore,
@@ -253,10 +316,9 @@ def phrase_matches(
 
     ``phrase_count`` = number of distinct start positions (the reference's
     matchCount, ``QueryProcessor.java:259-268``). ``pos_rows`` optionally
-    supplies an already-pruned position-row superset (a logical query over
-    two phrases scans/restricts ONCE for the union of both sides —
-    pipeline.search); ``pos_rows_partitioned=True`` promises it is already
-    doc_id-partitioned AND doc_id-sorted (``partition_pos_rows``)."""
+    supplies an already-pruned position-row superset;
+    ``pos_rows_partitioned=True`` promises it is already doc_id-partitioned
+    AND doc_id-sorted (``partition_pos_rows``)."""
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_count long, doc_len long")
     from ..index.deletes import live_filter
@@ -280,44 +342,24 @@ def phrase_matches(
                 "doc_len",
             ),
         )
-    if pos_rows is None:
-        pos_rows = positions_for(
-            spark, store, terms, candidates=candidate_docs(spark, store, terms)
-        )
-        pos_rows_partitioned = False  # fresh scan always needs the layout
-    # The doc_id partition+sort is LOAD-BEARING: _match_kernel requires a
-    # doc's rows to be contiguous in the partition stream (its carry only
-    # saves the batch's trailing doc_id). A doc's term-rows arrive from
-    # different tbucket scan tasks, so after a hash shuffle alone they sit
-    # in different fetched blocks; once a partition spans multiple Arrow
-    # batches an unsorted doc would be split across non-adjacent batches
-    # and its matches silently dropped (tests/test_phrase_kernel.py).
-    if not pos_rows_partitioned:
-        pos_rows = partition_pos_rows(spark, pos_rows)
-    matched = pos_rows.mapInPandas(
-        _match_kernel(terms),
-        schema="doc_id long, phrase_count long, doc_len long",
-    )
-    return live_filter(spark, store, matched)
+    return phrase_matches_multi(
+        spark, store, [terms], pos_rows=pos_rows,
+        pos_rows_partitioned=pos_rows_partitioned,
+    ).drop("side")
 
 
-def phrase_topk(
+def score_phrase_matches(
     spark: SparkSession,
     store: IndexStore,
-    terms: list[str],
+    matches: DataFrame,
     k: int | None = 10,
-    pos_rows: DataFrame | None = None,
-    pos_rows_partitioned: bool = False,
 ) -> DataFrame:
-    """BM25-score the phrase as a synthetic term (the reference builds a
-    synthetic term with its own tf/idf/importance, ``QueryProcessor.java:
-    275-355,459-472``): tf = phrase_count, df = |matching docs|."""
+    """BM25-score a phrase match set as a synthetic term (the reference
+    builds a synthetic term with its own tf/idf/importance,
+    ``QueryProcessor.java:275-355,459-472``): tf = phrase_count,
+    df = |matching docs|."""
     from ..index.codec import BM25_B, BM25_K1
 
-    matches = phrase_matches(
-        spark, store, terms, pos_rows=pos_rows,
-        pos_rows_partitioned=pos_rows_partitioned,
-    )
     cstats = store.corpus_stats()
     n_docs, avgdl = cstats["n_docs"], cstats["avgdl"]
     # df of the synthetic phrase term: broadcast a 1-row count onto the
@@ -339,3 +381,19 @@ def phrase_topk(
     if k is None:
         return scored
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def phrase_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    k: int | None = 10,
+    pos_rows: DataFrame | None = None,
+    pos_rows_partitioned: bool = False,
+) -> DataFrame:
+    """Top-k BM25 synthetic-term scoring of one exact phrase."""
+    matches = phrase_matches(
+        spark, store, terms, pos_rows=pos_rows,
+        pos_rows_partitioned=pos_rows_partitioned,
+    )
+    return score_phrase_matches(spark, store, matches, k=k)

@@ -66,42 +66,37 @@ def search(
     pq = parse_query(query, stem=stem)
     fetch_k = k if not blend_popularity else max(4 * k, 50)
     if pq.kind == "logical":
-        # both sides phrases (the reference's Q4 shape): scan + candidate-
-        # restrict the positional rows ONCE for the union of both sides'
-        # terms and share the materialized rows — two independent sides
-        # would each re-scan the positional index. localCheckpoint (not
-        # persist): query-scoped, GC-reclaimed, no CacheManager entry
-        # leaked per query.
-        pos_rows = None
         l_terms, r_terms = (pq.left.terms or []), (pq.right.terms or [])
         if (
             pq.left.kind == "phrase" and pq.right.kind == "phrase"
+            and l_terms and r_terms
             and (len(l_terms) > 1 or len(r_terms) > 1)
-            and (l_terms or r_terms)
         ):
-            from .phrase import candidate_docs_any, partition_pos_rows, positions_for
+            # both sides phrases (the reference's Q4 shape): ONE pruned
+            # positional scan for the union of both sides' terms, ONE
+            # doc_id layout, and ONE adjacency-kernel pass matching both
+            # sides (each blob decoded at most once). Only the tiny match
+            # set is checkpointed — r3 eagerly checkpointed the whole
+            # position-row superset and ran the kernel once per side, which
+            # made the materialization the dominant cost of a logical query
+            # at the 3.9M-turn index. localCheckpoint (not persist):
+            # query-scoped, GC-reclaimed, no CacheManager entry leaked.
+            from .phrase import phrase_matches_multi, score_phrase_matches
 
-            # keep only docs that can match EITHER side — ONE pruned scan
-            # with per-side conditional distinct counts (was: two scans
-            # union'd + distinct'd, i.e. two shuffles of the same rows)
-            sides = [t for t in (l_terms, r_terms) if t]
-            cand = candidate_docs_any(spark, store, sides)
-            # lay the rows out for the adjacency kernel (doc_id partition +
-            # sort) BEFORE the checkpoint: the materialized copy is already
-            # kernel-ready, so BOTH phrase sides skip their own
-            # repartition+sort of the same data
-            pos_rows = partition_pos_rows(
-                spark,
-                positions_for(spark, store, l_terms + r_terms, candidates=cand),
+            matches = phrase_matches_multi(
+                spark, store, [l_terms, r_terms]
             ).localCheckpoint(eager=True)
-        left = _score_side(
-            spark, store, pq.left, engine, k=None, pos_rows=pos_rows,
-            pos_rows_partitioned=True,
-        )
-        right = _score_side(
-            spark, store, pq.right, engine, k=None, pos_rows=pos_rows,
-            pos_rows_partitioned=True,
-        )
+            left = score_phrase_matches(
+                spark, store, matches.filter(F.col("side") == 0).drop("side"),
+                k=None,
+            )
+            right = score_phrase_matches(
+                spark, store, matches.filter(F.col("side") == 1).drop("side"),
+                k=None,
+            )
+        else:
+            left = _score_side(spark, store, pq.left, engine, k=None)
+            right = _score_side(spark, store, pq.right, engine, k=None)
         topk = combine(left, right, pq.op, k=fetch_k)
     else:
         topk = _score_side(spark, store, pq, engine, k=fetch_k)

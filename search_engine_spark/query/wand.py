@@ -139,10 +139,17 @@ def wand_topk_segments(
     top-k heap (so the pruning threshold is driven by certainly-live docs
     only — conservative, exact) but any that beat the insertion condition
     are returned separately for exact downstream verification; the return
-    becomes ``(top, suspects)``. Exactness: if a suspect fails the
+    becomes ``(top, suspects, spilled)``. Exactness: if a suspect fails the
     insertion condition, k live docs in this shard already rank above it
     (ties break doc_id-asc and docIDs ascend), so it cannot be in the
-    global top-k."""
+    global top-k. The suspect list itself is BOUNDED to the shard's k best
+    suspects (mass-deleting the whole top would otherwise make it
+    corpus-sized — a driver-scale hazard): if every retained suspect
+    verifies live, anything evicted is dominated by k live docs and the
+    bound is exact; ``spilled=True`` with a retained suspect that verifies
+    DELETED is the one (detectable, rare) case where an evicted
+    bloom-false-positive could have qualified, and the caller must fall
+    back to the exact path."""
     iters: list[_TermIter] = []
     # term-sorted iterator order + stable sorts below -> per-doc term
     # contributions sum in sorted-term order (matches the DataFrame path)
@@ -154,11 +161,13 @@ def wand_topk_segments(
                     _TermIter(PostingSegment(buf), w, avgdl, scale, boost=boost)
                 )
     if not iters:
-        return ([], []) if suspect_of is not None else []
+        return ([], [], False) if suspect_of is not None else []
 
-    # heap entries: (score, -doc_id); worst of top-k at heap[0]
+    # heap entries: (score, -doc_id); worst of top-k at heap[0].
+    # suspects is a SECOND bounded heap (k best suspects) — see docstring.
     heap: list[tuple[float, int]] = []
-    suspects: list[tuple[int, float]] = []
+    suspects: list[tuple[float, int]] = []
+    sus_spilled = False
     INF = np.iinfo(np.int64).max
     excl_set = set(int(x) for x in excluded) if excluded is not None else None
 
@@ -202,9 +211,15 @@ def wand_topk_segments(
                 if is_suspect:
                     # maybe-deleted: keep out of the live heap (threshold
                     # stays live-only), emit for exact verification if it
-                    # would have qualified
+                    # would have qualified — bounded to the k best suspects
                     if len(heap) < k or entry > heap[0]:
-                        suspects.append((pivot_doc, score))
+                        if len(suspects) < k:
+                            heapq.heappush(suspects, entry)
+                        elif entry > suspects[0]:
+                            heapq.heapreplace(suspects, entry)
+                            sus_spilled = True
+                        else:
+                            sus_spilled = True
                 elif score > threshold or (
                     len(heap) < k
                 ):
@@ -224,7 +239,7 @@ def wand_topk_segments(
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda x: (-x[1], x[0]))
     if suspect_of is not None:
-        return out, suspects
+        return out, [(-nd, s) for s, nd in suspects], sus_spilled
     return out
 
 
@@ -264,7 +279,7 @@ def blockmax_topk_segments(
                 segs.append((PostingSegment(buf), w))
                 bound_scales.append(scale)
     if not segs:
-        return ([], []) if suspect_of is not None else []
+        return ([], [], False) if suspect_of is not None else []
 
     n = len(segs)
     cur_block = np.zeros(n, dtype=np.int64)          # current block index
@@ -281,7 +296,9 @@ def blockmax_topk_segments(
     INF = np.iinfo(np.int64).max
 
     heap: list[tuple[float, int]] = []
-    suspects: list[tuple[int, float]] = []
+    # bounded k-best suspect heap + spill flag (see wand_topk_segments)
+    suspects: list[tuple[float, int]] = []
+    sus_spilled = False
     decoded: dict[tuple[int, int], tuple] = {}
 
     def block_last(i):
@@ -363,7 +380,13 @@ def blockmax_topk_segments(
                         for doc, sc in zip(uniq[sus], sums[sus]):
                             entry = (float(sc), -int(doc))
                             if len(heap) < k or entry > heap[0]:
-                                suspects.append((int(doc), float(sc)))
+                                if len(suspects) < k:
+                                    heapq.heappush(suspects, entry)
+                                elif entry > suspects[0]:
+                                    heapq.heapreplace(suspects, entry)
+                                    sus_spilled = True
+                                else:
+                                    sus_spilled = True
                 for doc, sc in zip(uniq[mask], sums[mask]):
                     entry = (float(sc), -int(doc))
                     if len(heap) < k:
@@ -401,7 +424,7 @@ def blockmax_topk_segments(
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda x: (-x[1], x[0]))
     if suspect_of is not None:
-        return out, suspects
+        return out, [(-nd, s) for s, nd in suspects], sus_spilled
     return out
 
 
@@ -489,9 +512,9 @@ def bm25_topk_wand(
             top = blockmax_topk_segments(
                 term_segments, b_weights.value, avgdl, k, boost=boost
             )
-            sus = []
+            sus, spilled = [], False
         else:
-            top, sus = blockmax_topk_segments(
+            top, sus, spilled = blockmax_topk_segments(
                 term_segments, b_weights.value, avgdl, k, suspect_of=bl,
                 boost=boost,
             )
@@ -500,11 +523,14 @@ def bm25_topk_wand(
                 "doc_id": [d for d, _ in top] + [d for d, _ in sus],
                 "score": [s for _, s in top] + [s for _, s in sus],
                 "suspect": [False] * len(top) + [True] * len(sus),
+                "spilled": [spilled] * (len(top) + len(sus)),
             }
-        ).astype({"doc_id": "int64", "score": "float64", "suspect": "bool"})
+        ).astype({"doc_id": "int64", "score": "float64", "suspect": "bool",
+                  "spilled": "bool"})
 
     local = segs.groupBy("drange").applyInPandas(
-        shard_wand, schema="doc_id long, score double, suspect boolean"
+        shard_wand,
+        schema="doc_id long, score double, suspect boolean, spilled boolean",
     )
     if bloom is None:
         return (
@@ -512,14 +538,29 @@ def bm25_topk_wand(
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
-    # exact suspect resolution: the per-shard suspect lists are top-k
-    # contenders only (driver-sized by construction), so materialize once,
-    # verify the suspect ids against the tombstone table with a pushed
-    # IN (...) filter, and take the final top-k over live ∪ verified-live.
+    # exact suspect resolution: the per-shard suspect lists are bounded to k
+    # entries each (driver-sized by construction even under mass deletion of
+    # the top results), so materialize once, verify the suspect ids against
+    # the tombstone table with a pushed IN (...) filter, and take the final
+    # top-k over live ∪ verified-live.
     rows = local.collect()
     verified_deleted = verify_suspects(
         spark, store, [int(r["doc_id"]) for r in rows if r["suspect"]]
     )
+    # exactness guard for the suspect-heap bound: a shard that EVICTED
+    # suspects and had one of its k retained suspects verify deleted may
+    # have dropped a live bloom-false-positive contender (requires >k
+    # suspects above the live threshold in one shard AND a deletion among
+    # its k best AND a false positive below them — detectable, rare). Fall
+    # back to the exact DataFrame path, which anti-filters tombstones
+    # without blooms.
+    if any(
+        r["spilled"] and r["suspect"] and int(r["doc_id"]) in verified_deleted
+        for r in rows
+    ):
+        from .bm25 import bm25_topk
+
+        return bm25_topk(spark, store, terms, k=k, boost=boost)
     final = [
         (int(r["doc_id"]), float(r["score"]))
         for r in rows
