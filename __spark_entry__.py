@@ -483,9 +483,9 @@ def _transcript_store(spark: SparkSession):
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.index.storage import IndexStore
 
-    # _v4: segment codec v2 (weight stream) — stale memoized indexes from
+    # _v5: positional segment streams — stale memoized indexes from
     # older layouts must not be reused
-    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v4")
+    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v5")
     store = IndexStore(ix_dir)
     if not store.corpus_stats_path.exists():
         # exclusive-create lock: queries() callables may run concurrently
@@ -593,7 +593,7 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     from search_engine_spark.index.storage import IndexStore
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v3_{h}"
+    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v4_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():
@@ -667,7 +667,7 @@ def _appended_store(spark: SparkSession, sf_dir: str):
     from search_engine_spark.streaming.incremental import append_batch
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_AIX", "/tmp/se_entry_docs_ixapp") + f"_v2_{h}"
+    d = os.environ.get("SPARK_GRAFT_AIX", "/tmp/se_entry_docs_ixapp") + f"_v3_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():
@@ -727,7 +727,7 @@ def _index_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.query.wand import bm25_topk_wand
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_CIX", "/tmp/se_entry_docs_ixcomp") + f"_v1_{h}"
+    d = os.environ.get("SPARK_GRAFT_CIX", "/tmp/se_entry_docs_ixcomp") + f"_v2_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():

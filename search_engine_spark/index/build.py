@@ -283,7 +283,8 @@ def build_term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
 
 SEGMENT_SCHEMA = (
     "term string, drange long, tbucket int, df_local long, "
-    "first_doc_id long, last_doc_id long, max_impact double, postings binary"
+    "first_doc_id long, last_doc_id long, max_impact double, "
+    "postings binary, positions binary"
 )
 
 
@@ -323,6 +324,11 @@ def encode_segments(
             F.round(F.col("importance") / F.col("tf") * WEIGHT_SCALE)
             .cast("smallint")
             .alias("wq"),
+            # per-posting varbyte position blob: rides the encode shuffle so
+            # each (term, drange) group can emit its block-skippable
+            # positional stream next to the scored segment (phrase queries
+            # then serve per-drange like WAND, no row-level shuffles)
+            "positions",
         )
         .repartition(num_partitions, "term", "drange")
         .sortWithinPartitions("term", "drange", "doc_id")
@@ -344,6 +350,7 @@ def encode_segments(
                 MAGIC,
                 WEIGHT_SCALE,
                 _HEADER,
+                _POS_HEADER,
                 f32_upper,
                 varbyte_encode_with_sizes,
             )
@@ -381,6 +388,16 @@ def encode_segments(
             tf_off = np.concatenate(([0], np.cumsum(tf_sz)))
             dl_off = np.concatenate(([0], np.cumsum(dl_sz)))
             w_off = np.concatenate(([0], np.cumsum(w_sz)))
+            # positional stream: the per-posting blobs are ALREADY varbyte
+            # (build_postings encodes them once); the segment stream is
+            # their concatenation in the sorted order, so no re-encode —
+            # only offset bookkeeping for the per-block skip directory
+            pos_blobs = pdf["positions"].to_numpy()
+            pos_sz = np.fromiter(
+                (len(b) for b in pos_blobs), dtype=np.int64, count=n_rows
+            )
+            pos_off = np.concatenate(([0], np.cumsum(pos_sz)))
+            pos_mv = memoryview(b"".join(pos_blobs))
             # groups where every weight is 1 omit the stream entirely
             grp_has_w = (
                 np.maximum.reduceat(w_q, starts) != WEIGHT_SCALE
@@ -426,11 +443,17 @@ def encode_segments(
             DIR_SZ = dir_arr.dtype.itemsize
             dir_mv = memoryview(dir_bytes)
             blk_cum = np.concatenate(([0], np.cumsum(nblk)))
+            # per-block end offsets into the group's positional stream,
+            # relative to the group start (the skip directory)
+            pos_blk_end = (
+                pos_off[blk_hi] - pos_off[starts[blk_group]]
+            ).astype("<i4")
 
             # per-group segment max impact (for the WAND term upper bound)
             grp_max = np.maximum.reduceat(imp_all, starts)
 
             postings_out = []
+            positions_out = []
             for gi in range(len(starts)):
                 s, e = int(starts[gi]), int(ends[gi])
                 has_w = bool(grp_has_w[gi])
@@ -446,6 +469,11 @@ def encode_segments(
                     + dl_mv[dl_off[s]:dl_off[e]].tobytes()
                     + (w_mv[w_off[s]:w_off[e]].tobytes() if has_w else b"")
                 )
+                positions_out.append(
+                    _POS_HEADER.pack(int(nblk[gi]))
+                    + pos_blk_end[blk_cum[gi]:blk_cum[gi + 1]].tobytes()
+                    + pos_mv[pos_off[s]:pos_off[e]].tobytes()
+                )
             term_vals = terms[starts]
             return pd.DataFrame(
                 {
@@ -459,6 +487,7 @@ def encode_segments(
                     "last_doc_id": ids[ends - 1],
                     "max_impact": grp_max,
                     "postings": postings_out,
+                    "positions": positions_out,
                 }
             )
 

@@ -146,6 +146,10 @@ def build_index(
                 "n_buckets": n_buckets,
                 "n_chunks": n_chunks,
                 "stem": stem,
+                # segment rows carry the block-skippable positional stream;
+                # phrase/logical queries serve per-drange over segments
+                # (stores built before this flag fall back to the row path)
+                "positional_segments": True,
                 "built_unix": time.time(),
             }
         )

@@ -317,3 +317,67 @@ def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if not buf:
         return (np.empty(0, np.int64),) * 3
     return PostingSegment(buf).decode_all()
+
+
+# ---------------------------------------------------------------------------
+# positional stream (segments table `positions` column)
+# ---------------------------------------------------------------------------
+# Block-structured positional skip data (VERDICT r3 next #1): the per-doc
+# position lists of a (term, doc-range) group are concatenated in docID
+# order into ONE stream, with a directory of per-block end offsets aligned
+# to the SAME BLOCK_SIZE posting blocks as the scored segment. A phrase
+# query intersects candidate docIDs on the compact streams first, then
+# decodes ONLY the position blocks whose posting range contains a
+# candidate — the rest of the stream is skipped at byte granularity.
+#
+# The column is self-describing and separate from the `postings` blob, so
+# the scored-segment layout (and codec MAGIC) is unchanged: WAND readers
+# never touch it (column pruning), and indexes built before this column
+# simply lack it (serve falls back to the row-level positional path).
+#
+# Layout: n_blocks:int32 | end_offset:int32[n_blocks] (cumulative bytes
+# into the stream) | varbyte stream of raw position ordinals (per-posting
+# lists back to back; per-posting counts come from the scored segment's tf
+# stream, so no per-posting size table is stored).
+
+_POS_HEADER = struct.Struct("<i")
+
+
+def encode_positions_segment(pos_blobs: list[bytes],
+                             block_size: int = BLOCK_SIZE) -> bytes:
+    """Reference encoder (tests / small paths): per-posting varbyte position
+    blobs in docID order -> one block-skippable stream. The production
+    encoder in ``build.encode_segments`` produces byte-identical output
+    vectorized over whole Arrow batches."""
+    n = len(pos_blobs)
+    n_blocks = (n + block_size - 1) // block_size
+    sizes = np.fromiter((len(b) for b in pos_blobs), np.int64, count=n)
+    cum = np.concatenate(([0], np.cumsum(sizes)))
+    ends = np.asarray(
+        [cum[min((bi + 1) * block_size, n)] for bi in range(n_blocks)],
+        dtype="<i4",
+    )
+    return _POS_HEADER.pack(n_blocks) + ends.tobytes() + b"".join(pos_blobs)
+
+
+class PositionalSegment:
+    """View over an encoded positional stream with per-block byte access.
+    ``block_bytes(lo, hi)`` returns the raw varbyte bytes of blocks
+    [lo, hi) — contiguous block runs decode in one ``varbyte_decode`` call
+    (counts come from the scored segment's tf stream)."""
+
+    __slots__ = ("n_blocks", "end_offs", "_base", "_buf")
+
+    def __init__(self, buf: bytes):
+        (self.n_blocks,) = _POS_HEADER.unpack_from(buf, 0)
+        self.end_offs = np.frombuffer(
+            buf, dtype="<i4", count=self.n_blocks, offset=_POS_HEADER.size
+        )
+        self._base = _POS_HEADER.size + 4 * self.n_blocks
+        self._buf = buf
+
+    def block_bytes(self, lo: int, hi: int) -> bytes:
+        """Raw bytes of blocks [lo, hi)."""
+        s = 0 if lo == 0 else int(self.end_offs[lo - 1])
+        e = int(self.end_offs[hi - 1])
+        return self._buf[self._base + s:self._base + e]

@@ -22,6 +22,11 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
+# module-level so the pandas-UDF type hints in topk_live resolve: with
+# ``from __future__ import annotations`` PySpark evaluates the stringified
+# hints against THIS module's globals, not the enclosing function's locals
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,8 +168,6 @@ def topk_live(
     bloom = tombstone_bloom(spark, store)
     b = spark.sparkContext.broadcast(bloom)
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -291,6 +294,10 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
 
     cstats.update(
         {"n_docs": n_docs, "avgdl": avgdl, "n_chunks": 1,
+         # the re-encode writes positional streams for every chunk, so even
+         # a store built before the positional-segment column serves the
+         # segment phrase path after compaction
+         "positional_segments": True,
          "compacted_unix": time.time()}
     )
     store.write_corpus_stats(cstats)

@@ -47,8 +47,8 @@ POSITIONS_DDL = POSTINGS_DDL
 TERM_STATS_DDL = "term string, df long, idf double, bm25_idf double, tbucket int"
 SEGMENTS_DDL = (
     "term string, drange long, df_local long, first_doc_id long, "
-    "last_doc_id long, max_impact double, postings binary, tbucket int, "
-    "chunk int"
+    "last_doc_id long, max_impact double, postings binary, "
+    "positions binary, tbucket int, chunk int"
 )
 
 

@@ -257,6 +257,215 @@ def _match_kernel_multi(sides: list[list[str]]):
     return match
 
 
+def _in_sorted(values: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a SORTED unique ``table`` via one
+    searchsorted — both arrays come out of segment decodes already ordered,
+    so this avoids np.isin's internal sort."""
+    if table.size == 0 or values.size == 0:
+        return np.zeros(values.shape, dtype=bool)
+    j = np.searchsorted(table, values)
+    ok = j < table.size
+    out = np.zeros(values.shape, dtype=bool)
+    out[ok] = table[j[ok]] == values[ok]
+    return out
+
+
+def _seg_kernel(sides: list[list[str]]):
+    """applyInPandas kernel over ONE doc-range's segment rows: decode the
+    compact docID/tf/dl streams fully (they are the candidate intersection
+    input), then decode ONLY the positional blocks whose posting range
+    contains a candidate — the per-block skip directory
+    (``codec.PositionalSegment``) turns the rest of the positions stream
+    into byte-range skips. Emits (side, doc_id, phrase_count, doc_len) per
+    matched side, identical to the row kernel ``_match_kernel_multi``."""
+    side_sets = [sorted(set(ts)) for ts in sides]
+
+    from ..index.codec import (
+        BLOCK_SIZE,
+        PositionalSegment,
+        PostingSegment,
+        varbyte_decode,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "side": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "phrase_count": pd.Series(dtype="int64"),
+            "doc_len": pd.Series(dtype="int64"),
+        }
+    )
+
+    def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one list per term; a (term, drange) pair can span multiple chunks
+        # after streaming appends — chunks occupy disjoint ascending docID
+        # ranges, so sorting parts by first docID restores global order
+        per_term: dict[str, list] = {}
+        for t, pb, xb in zip(pdf["term"], pdf["postings"], pdf["positions"]):
+            if xb is None:
+                raise ValueError(
+                    "segment row lacks a positional stream (chunk written "
+                    "before the positional-segment column) — compact or "
+                    "rebuild the index to serve phrases from segments"
+                )
+            per_term.setdefault(t, []).append((bytes(pb), bytes(xb)))
+        parts_of: dict[str, list[dict]] = {}
+        for t, lst in per_term.items():
+            parts = []
+            for pb, xb in lst:
+                seg = PostingSegment(pb)
+                ids, tfs, dls = seg.decode_all()
+                parts.append(
+                    {"ids": ids, "tfs": tfs, "dls": dls,
+                     "pos": PositionalSegment(xb)}
+                )
+            parts.sort(key=lambda p: int(p["ids"][0]))
+            parts_of[t] = parts
+
+        def ids_of(t: str) -> np.ndarray:
+            ps = parts_of[t]
+            if len(ps) == 1:
+                return ps[0]["ids"]
+            return np.concatenate([p["ids"] for p in ps])
+
+        # candidate docs per side: docs containing ALL the side's terms —
+        # the classic intersect-before-positions order, here on in-memory
+        # sorted id arrays instead of a distributed bitmask aggregation
+        side_cands: list[np.ndarray] = []
+        for ss in side_sets:
+            if any(t not in parts_of for t in ss):
+                side_cands.append(np.empty(0, np.int64))
+                continue
+            cand = ids_of(ss[0])
+            for t in ss[1:]:
+                if cand.size == 0:
+                    break
+                cand = np.intersect1d(cand, ids_of(t), assume_unique=True)
+            side_cands.append(cand)
+        if not any(c.size for c in side_cands):
+            return empty
+
+        term_keys: dict[str, np.ndarray] = {}
+        term_dl: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, parts in parts_of.items():
+            cand = None
+            for si, ss in enumerate(side_sets):
+                if t in ss and side_cands[si].size:
+                    cand = (
+                        side_cands[si]
+                        if cand is None
+                        else np.union1d(cand, side_cands[si])
+                    )
+            if cand is None or cand.size == 0:
+                continue
+            key_chunks, dl_id_chunks, dl_chunks = [], [], []
+            for p in parts:
+                ids, tfs = p["ids"], p["tfs"]
+                sel = np.flatnonzero(_in_sorted(ids, cand))
+                if sel.size == 0:
+                    continue
+                dl_id_chunks.append(ids[sel])
+                dl_chunks.append(p["dls"][sel])
+                tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+                blocks = np.unique(sel // BLOCK_SIZE)
+                # contiguous needed blocks decode as one run (one varbyte
+                # call); gaps between runs are skipped at byte granularity
+                splits = np.flatnonzero(np.diff(blocks) > 1) + 1
+                for run in np.split(blocks, splits):
+                    b0, b1 = int(run[0]), int(run[-1]) + 1
+                    lo = b0 * BLOCK_SIZE
+                    hi = min(b1 * BLOCK_SIZE, ids.size)
+                    cnt = int(tf_cum[hi] - tf_cum[lo])
+                    pos_run = varbyte_decode(p["pos"].block_bytes(b0, b1), cnt)
+                    in_run = sel[(sel >= lo) & (sel < hi)]
+                    s0 = tf_cum[in_run] - tf_cum[lo]
+                    s1 = tf_cum[in_run + 1] - tf_cum[lo]
+                    counts = s1 - s0
+                    total = int(counts.sum())
+                    if total == 0:
+                        continue
+                    shift = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                    idx = np.arange(total, dtype=np.int64) + np.repeat(
+                        s0 - shift, counts
+                    )
+                    pos_sel = pos_run[idx]
+                    if int(pos_sel.max()) >= (1 << _POS_BITS) - 64:
+                        raise ValueError(
+                            f"position {int(pos_sel.max())} >= "
+                            f"2^{_POS_BITS} - 64; doc too long for the "
+                            "composite phrase key"
+                        )
+                    doc_rep = np.repeat(ids[in_run], counts)
+                    key_chunks.append((doc_rep << _POS_BITS) | pos_sel)
+            if key_chunks:
+                term_keys[t] = np.concatenate(key_chunks)
+                term_dl[t] = (
+                    np.concatenate(dl_id_chunks),
+                    np.concatenate(dl_chunks),
+                )
+
+        outs = []
+        for si, ts in enumerate(sides):
+            cand = side_cands[si]
+            if cand.size == 0 or any(t not in term_keys for t in ts):
+                continue
+            k0 = term_keys[ts[0]]
+            starts = k0[_in_sorted(k0 >> _POS_BITS, cand)]
+            for i, t in enumerate(ts[1:], start=1):
+                if starts.size == 0:
+                    break
+                starts = starts[np.isin(starts + i, term_keys[t])]
+            if starts.size == 0:
+                continue
+            mdoc, mcnt = np.unique(starts >> _POS_BITS, return_counts=True)
+            dl_ids, dl_vals = term_dl[ts[0]]
+            dl_idx = np.searchsorted(dl_ids, mdoc)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "side": np.full(mdoc.size, si, dtype=np.int32),
+                        "doc_id": mdoc,
+                        "phrase_count": mcnt.astype(np.int64),
+                        "doc_len": dl_vals[dl_idx].astype(np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return shard
+
+
+def phrase_matches_multi_segments(
+    spark: SparkSession, store: IndexStore, sides: list[list[str]]
+) -> DataFrame:
+    """Segment-serve phrase/logical matching (the 100 TB plan): pruned
+    columnar scan of the query terms' segment rows (tbucket partition dirs +
+    pushed term filter), ONE shuffle of the compressed per-(term, drange)
+    blobs grouped by drange — a few MB where the row path shuffled millions
+    of per-(term, doc) rows — then the block-skipping adjacency kernel per
+    doc range. Same output contract as ``phrase_matches_multi``."""
+    from ..index.build import term_bucket_py
+    from ..index.deletes import live_filter
+
+    cstats = store.corpus_stats()
+    n_buckets = int(cstats.get("n_buckets", 64))
+    all_terms = sorted({t for ts in sides for t in ts})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    segs = (
+        store.segments(spark)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "drange", "postings", "positions")
+    )
+    matched = segs.groupBy("drange").applyInPandas(
+        _seg_kernel(sides),
+        schema="side int, doc_id long, phrase_count long, doc_len long",
+    )
+    return live_filter(spark, store, matched)
+
+
 def partition_pos_rows(spark: SparkSession, rows: DataFrame) -> DataFrame:
     """Hash-partition position rows by doc_id and sort within partitions —
     the layout ``_match_kernel`` requires. Exposed so a logical query can
@@ -276,12 +485,16 @@ def phrase_matches_multi(
     """Match SEVERAL exact phrases in one kernel pass ->
     (side, doc_id, phrase_count, doc_len), side = index into ``sides``.
 
-    This is the logical-query serve path: one pruned positional scan for
-    the union of all sides' terms, one doc_id layout, one decode, one
-    tombstone anti-filter — the per-side work shares everything except the
-    adjacency chain itself."""
+    This is the logical-query serve path. Indexes whose segments carry the
+    block-skippable positional stream (``corpus_stats.positional_segments``)
+    serve straight from the compressed segments — pruned columnar scan, one
+    tiny per-drange blob shuffle, block-skipped decode. Older stores fall
+    back to the row path: one pruned positional row scan for the union of
+    all sides' terms, one doc_id layout, one decode."""
     from ..index.deletes import live_filter
 
+    if pos_rows is None and store.corpus_stats().get("positional_segments"):
+        return phrase_matches_multi_segments(spark, store, sides)
     if pos_rows is None:
         all_terms = sorted({t for ts in sides for t in ts})
         pos_rows = positions_for(

@@ -110,7 +110,11 @@ def test_vectorized_segment_encode_byte_identical(spark):
     import numpy as np
 
     from search_engine_spark.index.build import encode_segments
-    from search_engine_spark.index.codec import encode_postings
+    from search_engine_spark.index.codec import (
+        encode_positions_segment,
+        encode_postings,
+        varbyte_encode,
+    )
 
     rng = np.random.default_rng(7)
     rows = []
@@ -121,6 +125,7 @@ def test_vectorized_segment_encode_byte_identical(spark):
         ("beta", 0, 1, True), ("gamma", 2, 130, False),
     ]
     expected = {}
+    expected_pos = {}
     for term, dr, cnt, weighted in specs:
         base = dr * 1000
         ids = np.sort(rng.choice(np.arange(base, base + 999), cnt, replace=False))
@@ -131,20 +136,30 @@ def test_vectorized_segment_encode_byte_identical(spark):
             if weighted
             else np.ones(cnt, dtype=np.float64)
         )
+        pos_blobs = [
+            varbyte_encode(
+                np.sort(rng.choice(2000, size=int(t), replace=False))
+            )
+            for t in tfs
+        ]
         expected[(term, dr)] = encode_postings(
             ids, tfs, dls, avgdl=20.0, weights=ws
         )
+        expected_pos[(term, dr)] = encode_positions_segment(pos_blobs)
         rows += [
-            (term, int(i), int(t), int(d), float(w * t))
-            for i, t, d, w in zip(
-                ids.tolist(), tfs.tolist(), dls.tolist(), ws.tolist()
+            (term, int(i), int(t), int(d), float(w * t), bytearray(p))
+            for i, t, d, w, p in zip(
+                ids.tolist(), tfs.tolist(), dls.tolist(), ws.tolist(),
+                pos_blobs,
             )
         ]
     df = spark.createDataFrame(
         rows,
-        "term string, doc_id long, tf int, doc_len int, importance double",
+        "term string, doc_id long, tf int, doc_len int, importance double, "
+        "positions binary",
     )
     segs = encode_segments(df, avgdl=20.0, drange_span=1000, num_partitions=2).collect()
     assert len(segs) == len(specs)
     for r in segs:
         assert bytes(r["postings"]) == expected[(r["term"], r["drange"])]
+        assert bytes(r["positions"]) == expected_pos[(r["term"], r["drange"])]

@@ -14,8 +14,24 @@ from search_engine_spark.query.phrase import phrase_matches
 from search_engine_spark.query.pipeline import search
 
 
-def _phrase_counts(spark, store, terms):
-    rows = phrase_matches(spark, store, terms).collect()
+def _phrase_counts(spark, store, terms, force_row_path=False):
+    if force_row_path:
+        # explicit pos_rows pins the doc-partitioned ROW kernel (stores
+        # with positional segments otherwise dispatch to the segment path,
+        # which is Arrow-batch-independent — the contiguity regression
+        # below must keep exercising the row kernel's carry logic)
+        from search_engine_spark.query.phrase import (
+            candidate_docs_any,
+            positions_for,
+        )
+
+        pos_rows = positions_for(
+            spark, store, terms,
+            candidates=candidate_docs_any(spark, store, [terms]),
+        )
+        rows = phrase_matches(spark, store, terms, pos_rows=pos_rows).collect()
+    else:
+        rows = phrase_matches(spark, store, terms).collect()
     return sorted((int(r["doc_id"]), int(r["phrase_count"])) for r in rows)
 
 
@@ -35,14 +51,14 @@ def test_kernel_correct_when_partitions_span_many_arrow_batches(
     old = conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
     try:
-        got = _phrase_counts(spark, index_store, terms)
+        got = _phrase_counts(spark, index_store, terms, force_row_path=True)
     finally:
         conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     exp = topk(score_query(oracle_index, phrase_q), 10**9)
     # oracle top-k over ALL matches: same doc set
     assert [d for d, _ in got] == sorted(d for d, _ in exp)
     # and with normal batches, byte-identical counts
-    assert got == _phrase_counts(spark, index_store, terms)
+    assert got == _phrase_counts(spark, index_store, terms, force_row_path=True)
 
 
 def test_nondefault_bucket_count_index(spark, transcripts_df, oracle_index,
