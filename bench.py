@@ -172,16 +172,36 @@ def membw_scaling(lo_procs: int, hi_procs: int, secs: float = 2.0) -> dict:
     serial fraction — per-core work itself inflates)."""
     import multiprocessing as mp
 
-    out = {}
-    for procs in (lo_procs, hi_procs):
-        with mp.Pool(procs) as p:
-            rates = p.map(_membw_work, [secs] * procs)
-        out[procs] = sum(rates)
+    def once():
+        out = {}
+        for procs in (lo_procs, hi_procs):
+            with mp.Pool(procs) as p:
+                rates = p.map(_membw_work, [secs] * procs)
+            out[procs] = sum(rates)
+        return out
+
+    # sanity re-measure: a contention stall during ONE of the two pool runs
+    # produces an absurd ratio (a recorded run saw mbps_lo=31 vs
+    # mbps_hi=3477 -> "ceiling" 28.5, physically impossible for a shared
+    # memory subsystem). Retry up to twice while the reading is implausible;
+    # if it stays broken, record it with a flag so the acceptance logic
+    # ignores it instead of treating it as a high-bandwidth window.
     ratio = hi_procs / lo_procs
+    for _ in range(3):
+        out = once()
+        ceiling = (out[hi_procs] / out[lo_procs]) / ratio
+        plausible = (
+            0.05 <= ceiling <= 1.2
+            and out[lo_procs] > 1000.0  # an 8-core box streams >1 GB/s
+        )
+        if plausible:
+            break
+        time.sleep(5)
     return {
         "mbps_lo": round(out[lo_procs], 0),
         "mbps_hi": round(out[hi_procs], 0),
-        "ceiling": round((out[hi_procs] / out[lo_procs]) / ratio, 3),
+        "ceiling": round(ceiling, 3),
+        "plausible": plausible,
     }
 
 
@@ -252,7 +272,7 @@ def measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full):
             "membw": bw,
             "efficiency_vs_membw_ceiling": round(
                 min(eff / bw["ceiling"], 1.0), 3
-            ) if bw["ceiling"] > 0 else None,
+            ) if bw["ceiling"] > 0 and bw.get("plausible", True) else None,
             "window_ok": _window_ok([p0, p1, p2]),
         }
         attempts.append(att)
@@ -264,7 +284,11 @@ def measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full):
             file=sys.stderr, flush=True,
         )
         if any(
-            a["efficiency"] >= NORTH_EFF or a["membw"]["ceiling"] >= NORTH_EFF
+            a["efficiency"] >= NORTH_EFF
+            or (
+                a["membw"].get("plausible", True)
+                and a["membw"]["ceiling"] >= NORTH_EFF
+            )
             for a in stable
         ):
             break  # raw pass, or a high-bandwidth window measured the job
@@ -281,7 +305,12 @@ def measure_scaling(corpus_full, corpus_cal, corpus_warm, n_full):
         # attempt whose hardware allowed the most — the honest headline)
         best = max(
             stable,
-            key=lambda a: (a["efficiency"] >= NORTH_EFF, a["membw"]["ceiling"]),
+            key=lambda a: (
+                a["efficiency"] >= NORTH_EFF,
+                a["membw"]["ceiling"]
+                if a["membw"].get("plausible", True)
+                else -1.0,
+            ),
         )
     else:
         # most stable window = smallest relative probe spread
@@ -437,6 +466,11 @@ def main() -> None:
         "index": {
             "n_postings": sum(mf["n_postings"] for mf in manifests),
             "segment_bytes": sum(mf["bytes"] for mf in manifests),
+            # the phrase-serve positional streams, reported separately: the
+            # scored paths never read them (column pruning)
+            "positional_bytes": sum(
+                mf.get("pos_bytes", 0) for mf in manifests
+            ),
         },
     }))
 

@@ -189,6 +189,7 @@ def build_index(
             F.countDistinct("term").alias("n_terms"),
             F.countDistinct("drange").alias("n_dranges"),
             F.sum(F.length("postings")).alias("bytes"),
+        F.sum(F.length("positions")).alias("pos_bytes"),
             F.min("first_doc_id").alias("min_doc_id"),
             F.max("last_doc_id").alias("max_doc_id"),
         ).collect()[0]
@@ -204,6 +205,7 @@ def build_index(
                 "n_terms": m["n_terms"],
                 "n_dranges": m["n_dranges"],
                 "bytes": int(m["bytes"] or 0),
+            "pos_bytes": int(m["pos_bytes"] or 0),
                 "min_doc_id": m["min_doc_id"],
                 "max_doc_id": m["max_doc_id"],
                 "completed_unix": time.time(),
