@@ -819,6 +819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_lsh_pairs"] = q(
         lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     )
+    # near-dup CLUSTERS: connected components over the LSH pair graph by
+    # min-label propagation, one representative kept per cluster (keep cast
+    # to int: portable across the Spark/DuckDB value hash)
+    out["dup_components"] = q(
+        lambda s, d: dedup.dup_components(_docs(s, d)).select(
+            "doc_id", "component", F.col("keep").cast("int").alias("keep")
+        )
+    )
     # threshold 0.5 + df-cap 100: the parameterization you'd run at scale —
     # a low threshold materializes ~all pairs, an uncapped hot shingle makes
     # the self-join quadratic
@@ -1177,6 +1185,40 @@ banded AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+"""
+    # connected components over the LSH pair graph: the oracle computes the
+    # full transitive closure (recursive CTE; fine at oracle scale) and
+    # takes the min reachable id — the fixpoint the distributed min-label
+    # propagation converges to
+    sql["dup_components"] = f"""
+WITH RECURSIVE raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr FROM documents),
+{shing3},
+sig AS ({_minhash_sig_select(8)}),
+banded AS (
+  SELECT doc_id,
+         h0 || '|' || h1 || '|' || h2 || '|' || h3 AS b0,
+         h4 || '|' || h5 || '|' || h6 || '|' || h7 AS b1
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s AS n, d AS m FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+)
+SELECT n AS doc_id,
+       least(n, min(m)) AS component,
+       CAST(least(n, min(m)) = n AS INTEGER) AS keep
+FROM reach GROUP BY n
 """
     shing2 = _shingle_cte(2)
     sql["jaccard_pairs"] = f"""

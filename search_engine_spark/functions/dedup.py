@@ -260,3 +260,76 @@ def simhash_dup_pairs(docs: DataFrame, id_col: str = "doc_id", max_hamming: int 
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dup_components(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected components
+    by iterative min-label propagation -> (doc_id, component, keep) for
+    every doc in at least one pair, where ``component`` is the smallest
+    docID reachable through the pair graph and ``keep`` marks the one
+    representative per cluster (the standard "drop all but one of each
+    near-dup group" step of a training-data pipeline).
+
+    Scale story: edges come from the banded LSH join (collision-bounded,
+    never O(n^2)); each iteration is one edge/label join + min-aggregation
+    — the label-propagation form of distributed connected components
+    (alternating-star algorithms are the same primitive). Convergence needs
+    at most graph-diameter iterations (near-dup clusters are shallow);
+    progress is checked with ONE action per iteration (the PageRank
+    pattern), and lineage is truncated per step with localCheckpoint so the
+    plan does not grow with the iteration count.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("component").alias("dst_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.col("component").alias("prev"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = merged.agg(
+            F.sum(
+                F.when(F.col("component") != F.col("prev"), 1).otherwise(0)
+            ).alias("n")
+        ).collect()[0]["n"]
+        labels = merged.select("node", "component")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

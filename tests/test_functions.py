@@ -276,3 +276,25 @@ def test_en_bigram_score_separates_english_from_noise(spark):
         for t in toks for i in range(len(t) - 1)
     ]
     assert rows[0]["en_logp"] == pytest.approx(round(sum(lps) / len(lps), 6), abs=2e-6)
+
+
+def test_dup_components_chain_and_isolated_cluster(spark):
+    """Min-label propagation must traverse chains (component = min id of
+    the WHOLE connected component, not just direct neighbors) and keep
+    exactly one representative per cluster."""
+    from search_engine_spark.functions.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = {
+        int(r["doc_id"]): (int(r["component"]), bool(r["keep"]))
+        for r in dup_components(docs, pairs=pairs).collect()
+    }
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+    }
