@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.build import term_bucket_py
-from ..index.codec import BM25_B, BM25_K1, PostingSegment, bm25_idf
+from ..index.codec import BM25_B, BM25_K1, PostingSegment
 from ..index.storage import IndexStore
 
 
@@ -428,6 +428,51 @@ def blockmax_topk_segments(
     return out
 
 
+# driver-side term-stats cache: {store epoch key: {term: bm25_idf | None}}.
+# None memoizes "term not in the index" so absent terms do not re-collect on
+# every query. The epoch key folds in the build/append/compact timestamps
+# from corpus stats, so any stats rewrite (streaming append recomputes df,
+# compaction recounts) starts a fresh entry — logical deletes intentionally
+# do NOT invalidate (stats stay stale until compaction by design).
+_IDF_CACHE: dict[tuple, dict[str, float | None]] = {}
+_IDF_CACHE_MAX_STORES = 8
+_IDF_CACHE_MAX_TERMS = 100_000
+
+
+def _cached_term_idf(
+    spark: SparkSession, store: IndexStore, terms: list[str], n_buckets: int
+) -> dict[str, float | None]:
+    c = store.corpus_stats()
+    key = (
+        str(store.dir),
+        c.get("built_unix"),
+        c.get("last_append_unix"),
+        c.get("compacted_unix"),
+    )
+    cache = _IDF_CACHE.get(key)
+    if cache is None:
+        while len(_IDF_CACHE) >= _IDF_CACHE_MAX_STORES:
+            _IDF_CACHE.pop(next(iter(_IDF_CACHE)))
+        cache = _IDF_CACHE[key] = {}
+    missing = sorted(t for t in set(terms) if t not in cache)
+    if missing:
+        buckets = sorted({term_bucket_py(t, n_buckets) for t in missing})
+        rows = (
+            store.term_stats(spark)
+            .filter(F.col("tbucket").isin(buckets))
+            .filter(F.col("term").isin(missing))
+            .select("term", "bm25_idf")
+            .collect()
+        )
+        if len(cache) + len(missing) > _IDF_CACHE_MAX_TERMS:
+            cache.clear()
+        for t in missing:
+            cache[t] = None
+        for r in rows:
+            cache[r["term"]] = float(r["bm25_idf"])
+    return {t: cache.get(t) for t in set(terms)}
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     store: IndexStore,
@@ -446,26 +491,26 @@ def bm25_topk_wand(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     cstats = store.corpus_stats()
-    avgdl, n_docs = cstats["avgdl"], cstats["n_docs"]
+    avgdl = cstats["avgdl"]
     n_buckets = int(cstats.get("n_buckets", 64))
     qtf = Counter(terms)
     uniq = sorted(qtf)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
 
-    # tiny broadcast stats lookup (the reference's GlobalStats, J7 analog)
-    stats_rows = (
-        store.term_stats(spark)
-        .filter(F.col("tbucket").isin(buckets))
-        .filter(F.col("term").isin(uniq))
-        .select("term", "df")
-        .collect()
-    )
-    if not stats_rows:
-        return spark.createDataFrame([], "doc_id long, score double")
+    # per-term idf from the driver-side stats cache (the reference's
+    # in-memory GlobalStats analog). Measured alternatives at the 3.9M-turn
+    # index: a fresh pruned-scan collect costs ~0.6 s per query; joining the
+    # weights onto the segment rows as an in-job broadcast costs ~0.6 s MORE
+    # than the collect (the broadcast exchange adds a full AQE stage). The
+    # cache makes repeat queries pay neither. Uses the STORED bm25_idf
+    # column — the very value the DataFrame path scores with, so engine
+    # parity does not lean on np.log and JVM log agreeing to the last ulp.
+    idf_of = _cached_term_idf(spark, store, uniq, n_buckets)
     weights = {
-        r["term"]: qtf[r["term"]] * float(bm25_idf(n_docs, r["df"]))
-        for r in stats_rows
+        t: qtf[t] * idf_of[t] for t in uniq if idf_of.get(t) is not None
     }
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score double")
     b_weights = spark.sparkContext.broadcast(weights)
 
     # Tombstoned docs are excluded inside the shard scorers via a broadcast
