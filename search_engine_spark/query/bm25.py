@@ -36,18 +36,30 @@ def score_expr(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
     return F.col("qtf") * F.col("bm25_idf") * impact
 
 
-def _term_sorted_sum() -> F.Column:
+def _per_term_sum(uniq: list[str]) -> tuple[list[F.Column], F.Column]:
     """Deterministic per-doc score: term contributions added in SORTED term
     order (SURVEY §7 hard part (a)). A plain F.sum accumulates in row-
     encounter order, which depends on the physical layout — float addition
     is not associative, so true ties in the oracle could differ in the last
-    bits here and flip the doc_id tie-break. Query terms are few, so the
-    collect_list array is tiny."""
-    return F.aggregate(
-        F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("term_score")))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["term_score"],
-    )
+    bits here and flip the doc_id tie-break.
+
+    Implementation: one conditional sum PER QUERY TERM (each (doc, term)
+    group holds exactly one row, so every "sum" is that single value), then
+    the columns are added left-to-right in sorted term order; a missing
+    term contributes +0.0, which is an exact IEEE no-op for the positive
+    scores here — the float sequence is identical to folding the present
+    terms in sorted order. This stays a plain map-side-combinable
+    HashAggregate; the previous collect_list + array_sort + F.aggregate
+    fold forced an ObjectHashAggregate that shipped per-doc structs through
+    the shuffle (~0.4 s slower per query at the 3.9M-turn index)."""
+    cols = [
+        F.sum(F.when(F.col("term") == t, F.col("term_score"))).alias(f"_s{i}")
+        for i, t in enumerate(uniq)
+    ]
+    expr: F.Column = F.lit(0.0)
+    for i in range(len(uniq)):
+        expr = expr + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return cols, expr
 
 
 def candidates_for_terms(
@@ -116,7 +128,11 @@ def bm25_topk(
     if boost:
         expr = expr * (F.col("importance") / F.col("tf"))
     scored = cand.withColumn("term_score", expr)
-    agg = scored.groupBy("doc_id").agg(_term_sorted_sum().alias("score"))
+    cols, total = _per_term_sum(sorted(set(terms)))
+    agg = (
+        scored.groupBy("doc_id").agg(*cols)
+        .select("doc_id", total.alias("score"))
+    )
     from ..index.deletes import live_filter, topk_live
 
     if k is None:
@@ -153,11 +169,13 @@ def tfidf_topk(
         rel = rel * (F.col("importance") / F.col("tf"))
     from ..index.deletes import topk_live
 
+    cols, total = _per_term_sum(sorted(set(terms)))
     agg = (
         cand.withColumn("term_score", rel)
         .groupBy("doc_id")
-        .agg(
-            (0.7 * _term_sorted_sum() + 0.3 * F.lit(popularity)).alias("score")
+        .agg(*cols)
+        .select(
+            "doc_id", (0.7 * total + 0.3 * F.lit(popularity)).alias("score")
         )
     )
     # tombstoned docs are anti-filtered at serve time, like every query
