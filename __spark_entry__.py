@@ -907,6 +907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pricing_summary"] = q(_pricing_summary)
     out["top_revenue_orders"] = q(_top_revenue_orders)
     out["events_hourly"] = q(_events_hourly)
+    # gap-based sessionization (one shuffle: lag window, running session
+    # counter, and per-session agg all share the user_id exchange)
+    out["events_sessions"] = q(_events_sessions)
+    # deterministic per-stratum sampling (md5 threshold — portable to the
+    # oracle; pure map-side filter, no RNG, no shuffle)
+    out["stratified_sample"] = q(_stratified_sample)
 
     # --- full index engine (segments + block-max WAND) with a DuckDB twin:
     #     no-stem build over the documents table, engine doc_ids == table
@@ -1105,6 +1111,25 @@ def _top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(20)
     )
+
+
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.functions.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.functions import textstats
+    from search_engine_spark.functions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    langs = textstats.lang_id(docs)
+    tagged = docs.select("doc_id").join(langs, "doc_id")
+    return stratified_sample(
+        tagged, F.col("lang_pred"), {"en": 0.5, "unk": 0.2}
+    ).select("doc_id", "lang_pred")
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,5 +1404,45 @@ ORDER BY revenue DESC, orderkey LIMIT 20
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+    sql["events_sessions"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                 THEN 1 ELSE 0 END AS newf
+  FROM o
+), s AS (
+  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+    # thresholds: 0.5 -> 0x80000000, 0.2 -> 0x33333333 (floor(frac * 16^8));
+    # lowercase hex compares lexicographically like the underlying integer
+    sql["stratified_sample"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) * 1.0 AS n_tokens,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> x IN ({_STOPLIST_SQL}))) * 1.0 AS n_stop
+  FROM documents
+), langs AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0 AND n_stop / n_tokens >= 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM f
+)
+SELECT doc_id, lang_pred FROM langs
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 8)
+      < CASE lang_pred WHEN 'en' THEN '80000000' WHEN 'unk' THEN '33333333'
+             ELSE '00000000' END
 """
     return sql

@@ -298,3 +298,62 @@ def test_dup_components_chain_and_isolated_cluster(spark):
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
         10: (10, True), 11: (10, False),
     }
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    from search_engine_spark.functions.sampling import (
+        hash_sample_keep,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("unk").alias("lang"),
+    )
+    out = stratified_sample(
+        df, F.col("lang"), {"en": 0.5, "unk": 0.1}, key_col="doc_id"
+    )
+    rows = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    # 1000 'en' docs at 50%, 3000 'unk' at 10% — md5 is uniform, allow 3-sigma
+    assert 420 <= counts["en"] <= 580, counts
+    assert 240 <= counts["unk"] <= 370, counts
+    # deterministic: the same call returns the identical row set
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b
+    # fraction edges: 1.0 keeps everything, 0.0 keeps nothing
+    n_all = df.filter(hash_sample_keep(F.col("doc_id"), 1.0)).count()
+    n_none = df.filter(hash_sample_keep(F.col("doc_id"), 0.0)).count()
+    assert n_all == 4000 and n_none == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    from search_engine_spark.functions.sessions import sessionize
+
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 31-min gap
+        (1, 1, "2025-01-01 10:00:00", 1.0),
+        (2, 1, "2025-01-01 10:10:00", 2.0),
+        (3, 1, "2025-01-01 10:41:00", 4.0),
+        # user 2: single event
+        (4, 2, "2025-01-01 09:00:00", 8.0),
+        # exact 30-min gap is NOT a new session (strict >)
+        (5, 3, "2025-01-01 09:00:00", 1.0),
+        (6, 3, "2025-01-01 09:30:00", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, ts, v) for e, u, ts, v in rows],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        (int(r["user_id"]), int(r["session_idx"])): (
+            int(r["n_events"]), float(r["sum_value"])
+        )
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 1): (2, 3.0), (1, 2): (1, 4.0),
+        (2, 1): (1, 8.0),
+        (3, 1): (2, 2.0),
+    }
