@@ -72,6 +72,7 @@ QUERY_SET = [
     ("term_mixed_df", "baco dafen model the data", "df"),
     ("term_mixed_wand", "baco dafen model the data", "wand"),
     ("phrase", '"spark index"', "df"),
+    ("logical_and", '"spark index" AND "query model"', "df"),
     ("logical_or", '"spark index" OR "query model"', "df"),
     ("logical_not", '"spark index" NOT "query model"', "df"),
 ]
