@@ -745,6 +745,59 @@ def _index_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over text with deterministic injected spans (one email /
+    SSN-shaped / phone-shaped each, derived from doc_id so the oracle can
+    rebuild the identical input). Patterns + ordering from
+    ``functions.redact.PII_PATTERNS``."""
+    from search_engine_spark.functions.redact import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    pad = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org ssn 555-01-"),
+            pad,
+            F.lit(" call 415 555-"),
+            pad,
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
+PREFIX_Q = "s*"       # wildcard query: expands against the dictionary
+PREFIX_LIMIT = 4      # < number of s-terms in the corpus -> cap exercised
+SPELL_WORD = "sor"    # dist 1 of 'sort', dist 2 of 'slow'/'row' -> mixed ranks
+
+
+def _prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query through the FULL pipeline: parser detects ``s*``,
+    ``suggest.expand_prefix`` picks the top-``PREFIX_LIMIT`` dictionary
+    terms by (df desc, term), and WAND scores their OR with qtf=1 each.
+    Oracle replays the same expansion from the SQL-side term dictionary."""
+    from search_engine_spark.query.pipeline import search
+
+    store = _docs_index(spark, sf_dir)
+    res = search(
+        spark, store, PREFIX_Q, k=K, engine="wand", with_metadata=False,
+        prefix_limit=PREFIX_LIMIT,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean over the production term dictionary (term_stats scan
+    with pushed length-band filter + JVM levenshtein)."""
+    from search_engine_spark.query.suggest import spell_suggest
+
+    store = _docs_index(spark, sf_dir)
+    return spell_suggest(spark, store, SPELL_WORD, max_dist=2, k=5)
+
+
 def _transcripts_search(engine: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.query.pipeline import search
@@ -852,6 +905,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: textstats.en_bigram_score(_docs(s, d))
     )
     out["fingerprints"] = q(lambda s, d: textstats.fingerprints(_docs(s, d)))
+    # Gopher-style repeated-trigram fraction (map-only, no shuffle)
+    out["repetition_scores"] = q(
+        lambda s, d: textstats.repetition_scores(_docs(s, d))
+    )
+    # PII scrub over deterministically PII-injected text (the synthetic
+    # corpus has none) — injection is replayed in the oracle SQL
+    out["pii_redact"] = q(_pii_redact)
 
     # --- similarity search --------------------------------------------------
     def _qvec(s, d):
@@ -935,6 +995,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delete -> compact -> query (tombstones, physical rewrite, exact
     # stat recount) hash-checked end-to-end
     out["index_bm25_compacted"] = q(_index_bm25_compacted)
+
+    # --- dictionary queries over the production index (term_stats scan:
+    #     pushed StartsWith / length-band predicates over term-sorted row
+    #     groups) ---------------------------------------------------------
+    # wildcard expansion through the FULL pipeline (parser -> expand ->
+    # WAND), cap 4 < matching-term count so the df-ranked cut is exercised
+    out["prefix_search"] = q(_prefix_search)
+    out["spell_suggest"] = q(_spell_suggest)
+
+    # --- conversation-level transcript analytics (payload axis): operators
+    #     take the canonical (conv_id, turn_idx, role, text, tool, ts)
+    #     shape; here fed by the deterministic documents->turns derivation
+    #     that the DuckDB oracle replays in SQL ---------------------------
+    from search_engine_spark.functions import transcripts as tx
+
+    out["conv_stats"] = q(
+        lambda s, d: tx.conv_stats(tx.derive_turns(_docs(s, d)))
+    )
+    out["conv_fingerprints"] = q(
+        lambda s, d: tx.conv_fingerprints(tx.derive_turns(_docs(s, d)))
+    )
+    out["role_transitions"] = q(
+        lambda s, d: tx.role_transitions(tx.derive_turns(_docs(s, d)))
+    )
+    out["tool_usage"] = q(
+        lambda s, d: tx.tool_usage(tx.derive_turns(_docs(s, d)))
+    )
 
     # --- full stemmed engine over transcripts (rows-only; pytest holds the
     #     rank-identity gate for these) -------------------------------------
@@ -1143,6 +1230,28 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+# deterministic documents -> turns derivation — the SQL twin of
+# functions/transcripts.derive_turns (TURN_WORDS=8, epoch/offset constants
+# must match; verified cell-identical across engines)
+_TURNS_CTE = r"""
+tdoc AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+         greatest(1, CAST(ceil(len(regexp_split_to_array(text, '\s+')) / 8.0) AS INT)) AS n_turns
+  FROM documents
+),
+tix AS (SELECT doc_id, toks, unnest(range(0, n_turns)) AS i FROM tdoc),
+turns AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(i AS INT) AS turn_idx,
+         CASE WHEN i % 5 = 4 THEN 'tool' WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS text,
+         CASE WHEN i % 5 = 4 THEN (CASE WHEN doc_id % 3 = 0 THEN 'search' WHEN doc_id % 3 = 1 THEN 'code' ELSE 'browse' END) END AS tool,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 1 SECOND * (doc_id * 60 + i * i) AS ts
+  FROM tix
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1445,4 +1554,128 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 8)
       < CASE lang_pred WHEN 'en' THEN '80000000' WHEN 'unk' THEN '33333333'
              ELSE '00000000' END
 """
+    # --- repetition + PII scrub (map-only text passes) --------------------
+    sql["repetition_scores"] = """
+WITH raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr FROM documents),
+g AS (
+  SELECT doc_id, len(arr) AS na,
+         list_transform(range(1, greatest(len(arr) - 1, 1)),
+                        i -> array_to_string(arr[i:i+2], ' ')) AS grams
+  FROM raw
+)
+SELECT doc_id,
+       CAST(CASE WHEN na >= 3 THEN na - 2 ELSE 0 END AS BIGINT) AS n_ngrams,
+       CASE WHEN na >= 3
+            THEN round(1.0 - len(list_distinct(grams)) * 1.0 / (na - 2), 6)
+            ELSE 0.0 END AS rep_frac
+FROM g
+"""
+    from search_engine_spark.functions.redact import PII_PATTERNS
+
+    _inj = (
+        "text || ' contact doc' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.org ssn 555-01-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' call 415 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    _steps, _cur = [], "t"
+    for _name, _pat, _tag in PII_PATTERNS:
+        _steps.append(
+            f"CAST(len(regexp_extract_all({_cur}, '{_pat}')) AS BIGINT) AS n_{_name}"
+        )
+        _cur = f"regexp_replace({_cur}, '{_pat}', '{_tag}', 'g')"
+    sql["pii_redact"] = f"""
+WITH inj AS (SELECT doc_id, {_inj} AS t FROM documents)
+SELECT doc_id, {_cur} AS clean, {", ".join(_steps)}
+FROM inj
+"""
+
+    # --- dictionary queries (term_stats = the dfreq of the no-stem kept
+    #     stream; expansion and suggestion replayed in SQL) ----------------
+    sql["prefix_search"] = f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term),
+qsel AS (
+  SELECT term, df FROM dfreq_all
+  WHERE term LIKE '{PREFIX_Q[:-1]}%'
+  ORDER BY df DESC, term LIMIT {PREFIX_LIMIT}
+),
+tf AS (
+  SELECT doc_id, kept.term, count(*) AS tf FROM kept
+  JOIN qsel USING (term) GROUP BY doc_id, kept.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - q.df + 0.5) / (q.df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN qsel q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+    sql["spell_suggest"] = f"""
+WITH {_KEPT_CTE},
+dfreq_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(levenshtein(term, '{SPELL_WORD}') AS BIGINT) AS dist
+FROM dfreq_all
+WHERE abs(length(term) - {len(SPELL_WORD)}) <= 2
+  AND levenshtein(term, '{SPELL_WORD}') <= 2
+ORDER BY dist, df DESC, term LIMIT 5
+"""
+
+    # --- conversation-level transcript analytics --------------------------
+    sql["conv_stats"] = f"""
+WITH {_TURNS_CTE}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(count(tool) AS BIGINT) AS n_tool_calls,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_words,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM turns GROUP BY conv_id
+"""
+    sql["conv_fingerprints"] = f"""
+WITH {_TURNS_CTE},
+fps AS (
+  SELECT conv_id, sha256(string_agg(text, chr(31) ORDER BY turn_idx)) AS fp
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_id, fp,
+       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_group_size
+FROM fps
+"""
+    sql["role_transitions"] = f"""
+WITH {_TURNS_CTE},
+pairs AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_role,
+         role AS to_role
+  FROM turns
+)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE from_role IS NOT NULL
+GROUP BY from_role, to_role
+"""
+    sql["tool_usage"] = f"""
+WITH {_TURNS_CTE},
+g AS (
+  SELECT conv_id, tool,
+         len(regexp_split_to_array(text, '\\s+')) AS turn_words,
+         date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap_sec
+  FROM turns
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(avg(turn_words), 6) AS avg_turn_words,
+       round(avg(gap_sec), 6) AS avg_gap_next_sec
+FROM g WHERE tool IS NOT NULL GROUP BY tool
+"""
+
     return sql

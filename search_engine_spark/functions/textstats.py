@@ -175,3 +175,32 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.sha2(F.array_join(toks, " "), 256).alias("fingerprint"),
     )
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      n: int = 3) -> DataFrame:
+    """(doc_id, n_ngrams, rep_frac) — repeated word-n-gram fraction, the
+    Gopher/C4-family quality signal: rep_frac = 1 - distinct/total over the
+    doc's word n-grams (0.0 when the doc has < n words). High values mark
+    boilerplate/looping text a training pipeline drops.
+
+    Entirely per-row Catalyst (regexp tokenize -> transform over an index
+    sequence -> array_distinct): NO shuffle, no UDF — at 100 TB this is a
+    map-only pass that scales with input splits."""
+    arr = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    total = F.size(arr) - (n - 1)
+    # greatest(total, 1): sequence(1, 0) would DESCEND and slice(arr, 0, n)
+    # throws — short docs take the CASE's other branch anyway
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(arr, i, n), " "),
+    )
+    rep = F.round(
+        1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+    )
+    has = F.size(arr) >= n
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(has, total).otherwise(0).cast("long").alias("n_ngrams"),
+        F.when(has, rep).otherwise(0.0).alias("rep_frac"),
+    )

@@ -133,6 +133,10 @@ def build_index(
         )
         (
             term_stats.repartition(n_buckets, "tbucket")
+            # term-sorted row groups: dictionary lookups (per-term stats,
+            # prefix expansion, length-banded spell suggestion) skip row
+            # groups via parquet min/max instead of scanning the bucket
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("tbucket")
             .parquet(store.term_stats_path)

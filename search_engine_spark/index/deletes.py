@@ -245,6 +245,7 @@ def compact(spark: SparkSession, store: IndexStore) -> dict:
     tmp = store.term_stats_path + "_tmp"
     (
         term_stats.repartition(n_buckets, "tbucket")
+        .sortWithinPartitions("term")  # same row-group skipping as the build
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(tmp)

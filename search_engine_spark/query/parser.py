@@ -15,6 +15,12 @@ from dataclasses import dataclass
 
 _LOGICAL_RE = re.compile(r'^\s*"([^"]*)"\s+(AND|OR|NOT)\s+"([^"]*)"\s*$')
 
+# wildcard token in a free-text query: `mach*` — expanded against the term
+# dictionary at serve time (query/suggest.expand_prefix). An engine
+# extension beyond the reference (its QueryProcessor matches exact terms
+# only); only the trailing-star prefix form is supported.
+_WILDCARD_RE = re.compile(r"\b([A-Za-z]+)\*")
+
 
 @dataclass
 class ParsedQuery:
@@ -24,6 +30,7 @@ class ParsedQuery:
     op: str | None = None               # logical
     left: "ParsedQuery | None" = None   # logical
     right: "ParsedQuery | None" = None  # logical
+    prefixes: list[str] | None = None   # term: wildcard prefixes to expand
 
 
 def parse_query(query: str, stem: bool = True) -> ParsedQuery:
@@ -44,4 +51,9 @@ def parse_query(query: str, stem: bool = True) -> ParsedQuery:
         terms = analyze_query(inner, stem=stem)
         kind = "phrase" if len(terms) >= 2 else "term"
         return ParsedQuery(kind, q, terms=terms)
-    return ParsedQuery("term", q, terms=analyze_query(q, stem=stem))
+    prefixes = [m.lower() for m in _WILDCARD_RE.findall(q)]
+    rest = _WILDCARD_RE.sub(" ", q)
+    return ParsedQuery(
+        "term", q, terms=analyze_query(rest, stem=stem),
+        prefixes=prefixes or None,
+    )

@@ -28,15 +28,26 @@ def _score_side(
     k: int | None,
     pos_rows: DataFrame | None = None,
     pos_rows_partitioned: bool = False,
+    prefix_limit: int = 8,
 ) -> DataFrame:
     if pq.kind == "phrase":
         return phrase_topk(
             spark, store, pq.terms or [], k=k, pos_rows=pos_rows,
             pos_rows_partitioned=pos_rows_partitioned,
         )
+    terms = list(pq.terms or [])
+    if pq.prefixes:
+        # wildcard tokens: expand each against the dictionary (df-ranked,
+        # bounded) and score the union as ordinary query terms — a term
+        # appearing both literally and via expansion accumulates qtf, like
+        # a repeated user-typed term
+        from .suggest import expand_prefix
+
+        for p in pq.prefixes:
+            terms.extend(expand_prefix(spark, store, p, limit=prefix_limit))
     if engine == "wand" and k is not None:
-        return bm25_topk_wand(spark, store, pq.terms or [], k=k)
-    return bm25_topk(spark, store, pq.terms or [], k=k)
+        return bm25_topk_wand(spark, store, terms, k=k)
+    return bm25_topk(spark, store, terms, k=k)
 
 
 def search(
@@ -47,6 +58,7 @@ def search(
     engine: str = "df",
     with_metadata: bool = True,
     blend_popularity: bool = False,
+    prefix_limit: int = 8,
 ) -> DataFrame:
     """Returns top-k rows: (rank, doc_id, score [, conv_id, turn_idx, role,
     ts, snippet]) — the shape of the reference's RankedDocument
@@ -99,7 +111,9 @@ def search(
             right = _score_side(spark, store, pq.right, engine, k=None)
         topk = combine(left, right, pq.op, k=fetch_k)
     else:
-        topk = _score_side(spark, store, pq, engine, k=fetch_k)
+        topk = _score_side(
+            spark, store, pq, engine, k=fetch_k, prefix_limit=prefix_limit
+        )
 
     if blend_popularity:
         docs_all = store.docs(spark)

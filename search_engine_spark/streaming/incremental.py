@@ -129,6 +129,7 @@ def append_batch(
     )
     (
         term_stats.repartition(n_buckets, "tbucket")
+        .sortWithinPartitions("term")  # same row-group skipping as the build
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(store.term_stats_path)

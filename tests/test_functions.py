@@ -357,3 +357,44 @@ def test_sessionize_gap_semantics(spark):
         (2, 1): (1, 8.0),
         (3, 1): (2, 2.0),
     }
+
+
+def test_repetition_scores_known_values(spark):
+    from search_engine_spark.functions.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+            (1, "x y"),                 # < 3 words -> 0
+            (2, "one two three four"),  # 2 trigrams, all distinct
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert got[0]["n_ngrams"] == 7
+    assert got[0]["rep_frac"] == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert got[1]["n_ngrams"] == 0 and got[1]["rep_frac"] == 0.0
+    assert got[2]["rep_frac"] == 0.0
+    assert got[3]["n_ngrams"] == 0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from search_engine_spark.functions.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b@x.io and c@y.org now"),
+            (1, "ssn 123-45-6789 phone 415 555-1234"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["clean"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[0]["n_email"] == 2 and got[0]["n_ssn"] == 0
+    # SSN masked FIRST, so the phone pattern cannot re-match its digits
+    assert got[1]["clean"] == "ssn <SSN> phone <PHONE>"
+    assert got[1]["n_ssn"] == 1 and got[1]["n_phone"] == 1
+    assert got[2]["clean"] == "nothing sensitive here"
+    assert (got[2]["n_email"], got[2]["n_ssn"], got[2]["n_phone"]) == (0, 0, 0)

@@ -1,0 +1,108 @@
+"""Dictionary queries: wildcard prefix expansion + spell suggestion
+(query/suggest.py) and their parser/pipeline integration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.query.parser import parse_query
+from search_engine_spark.query.suggest import expand_prefix, spell_suggest
+
+
+def _dictionary(spark, index_store):
+    return {
+        r["term"]: r["df"]
+        for r in index_store.term_stats(spark).select("term", "df").collect()
+    }
+
+
+def _lev(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+def test_expand_prefix_matches_dictionary(spark, index_store):
+    d = _dictionary(spark, index_store)
+    prefix = max(d, key=lambda t: d[t])[:2]  # a prefix guaranteed to match
+    expect = sorted(
+        (t for t in d if t.startswith(prefix)),
+        key=lambda t: (-d[t], t),
+    )[:3]
+    assert expand_prefix(spark, index_store, prefix, limit=3) == expect
+
+
+def test_expand_prefix_empty_and_miss(spark, index_store):
+    assert expand_prefix(spark, index_store, "") == []
+    assert expand_prefix(spark, index_store, "zzzzqqq") == []
+
+
+def test_spell_suggest_ordering(spark, index_store):
+    d = _dictionary(spark, index_store)
+    word = next(iter(sorted(d)))[:4] + "x"  # near-miss of some term
+    got = [(r["term"], r["df"], r["dist"])
+           for r in spell_suggest(spark, index_store, word, max_dist=2, k=5).collect()]
+    expect = sorted(
+        ((t, d[t], _lev(t, word)) for t in d if _lev(t, word) <= 2),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )[:5]
+    assert got == expect
+
+
+def test_parser_wildcard_tokens():
+    pq = parse_query("mach* data", stem=False)
+    assert pq.kind == "term"
+    assert pq.prefixes == ["mach"]
+    assert pq.terms == ["data"]
+    only = parse_query("mach*", stem=False)
+    assert only.prefixes == ["mach"] and only.terms == []
+    # phrase / logical surfaces are unaffected
+    assert parse_query('"some words"', stem=False).prefixes is None
+    assert parse_query("plain data", stem=False).prefixes is None
+
+
+def test_pipeline_prefix_equals_manual_expansion(spark, index_store):
+    from search_engine_spark.query.bm25 import bm25_topk
+    from search_engine_spark.query.pipeline import search
+
+    d = _dictionary(spark, index_store)
+    prefix = max(d, key=lambda t: d[t])[:2]
+    terms = expand_prefix(spark, index_store, prefix, limit=4)
+    assert terms
+    manual = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(spark, index_store, terms, k=10)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    for engine in ("df", "wand"):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(
+                spark, index_store, f"{prefix}*", k=10, engine=engine,
+                with_metadata=False, prefix_limit=4,
+            ).collect()
+        ]
+        assert got == manual, engine
+
+
+def test_suggest_plans_prune(spark, index_store):
+    """Prefix lookup pushes StartsWith; spell suggestion pushes the length
+    band — both visible as pushed filters in the scan."""
+    plan = (
+        index_store.term_stats(spark)
+        .filter(F.col("term").startswith("ab"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StartsWith" in plan
