@@ -769,6 +769,34 @@ def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(injected)
 
 
+def _url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T7 (UrlNormalizer.normalize + extractDomain) over
+    deterministically synthesized messy URLs — mixed-case scheme/host,
+    default and non-default ports, dot-segments, fragments, one malformed
+    row class; the oracle rebuilds the same inputs and replays the same
+    bounded rewrite passes in SQL."""
+    from search_engine_spark.functions.urlnorm import normalize_urls
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    ds = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM:80/A/./b/../Docs/"), ds, F.lit("?q=1&r=2#f"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".site.ORG:443/x/y/../z/"), ds,
+        ))
+        .when(m == 2, F.concat(
+            F.lit("https://cdn."), F.col("source"),
+            F.lit(".net:8080/a/b/../../c/"), ds, F.lit(".html#frag"),
+        ))
+        .otherwise(F.lit("relative/path"))
+    )
+    return normalize_urls(docs.select("doc_id", url.alias("url")))
+
+
 PREFIX_Q = "s*"       # wildcard query: expands against the dictionary
 PREFIX_LIMIT = 4      # < number of s-terms in the corpus -> cap exercised
 SPELL_WORD = "sor"    # dist 1 of 'sort', dist 2 of 'slow'/'row' -> mixed ranks
@@ -912,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PII scrub over deterministically PII-injected text (the synthetic
     # corpus has none) — injection is replayed in the oracle SQL
     out["pii_redact"] = q(_pii_redact)
+    # reference T7 (UrlNormalizer) over synthesized messy URLs
+    out["url_normalize"] = q(_url_normalize)
 
     # --- similarity search --------------------------------------------------
     def _qvec(s, d):
@@ -1588,6 +1618,59 @@ FROM g
 WITH inj AS (SELECT doc_id, {_inj} AS t FROM documents)
 SELECT doc_id, {_cur} AS clean, {", ".join(_steps)}
 FROM inj
+"""
+
+    # --- url normalization (T7): same injection + same bounded rewrite
+    #     passes as functions/urlnorm.py -----------------------------------
+    _path = "CASE WHEN raw_path = '' THEN '/' ELSE raw_path END"
+    for _ in range(4):
+        _path = f"regexp_replace({_path}, '/\\./', '/', 'g')"
+    _path = f"regexp_replace({_path}, '/\\.$', '/', 'g')"
+    for _ in range(4):
+        _path = f"regexp_replace({_path}, '/[^/]+/\\.\\./', '/', 'g')"
+    _path = f"regexp_replace({_path}, '/[^/]+/\\.\\.$', '/', 'g')"
+    sql["url_normalize"] = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.Example.COM:80/A/./b/../Docs/'
+                       || CAST(doc_id AS VARCHAR) || '?q=1&r=2#f'
+           WHEN 1 THEN 'https://' || source || '.site.ORG:443/x/y/../z/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://cdn.' || source || '.net:8080/a/b/../../c/'
+                       || CAST(doc_id AS VARCHAR) || '.html#frag'
+           ELSE 'relative/path' END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp0,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS pq
+  FROM u
+),
+q AS (
+  SELECT doc_id, scheme, hp0,
+         CASE WHEN scheme = 'http' AND hp0 LIKE '%:80'
+                THEN left(hp0, length(hp0) - 3)
+              WHEN scheme = 'https' AND hp0 LIKE '%:443'
+                THEN left(hp0, length(hp0) - 4)
+              ELSE hp0 END AS hostport,
+         regexp_extract(pq, '^([^?]*)', 1) AS raw_path,
+         regexp_extract(pq, '(\\?[^#]*)', 1) AS qs
+  FROM p
+),
+r AS (
+  SELECT doc_id, scheme, hp0, hostport, qs, {_path} AS path,
+         regexp_extract(hostport, '^([^:]+)', 1) AS host_only
+  FROM q
+)
+SELECT doc_id,
+       CASE WHEN scheme <> '' AND hp0 <> ''
+            THEN scheme || '://' || hostport || path || qs END AS url_norm,
+       CASE WHEN scheme <> '' AND hp0 <> ''
+            THEN CASE WHEN host_only LIKE 'www.%' THEN substr(host_only, 5)
+                      ELSE host_only END END AS domain
+FROM r
 """
 
     # --- dictionary queries (term_stats = the dfreq of the no-stem kept
