@@ -769,6 +769,42 @@ def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(injected)
 
 
+def _robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P7 (RobotsChecker.isAllowed) as a batch operator: a
+    deterministic rules table (deny /p1 but re-allow /p1/x, deny /p3, a
+    catch-all deny for one domain, one ruleless domain) against synthesized
+    per-source URLs — longest-prefix semantics and the default-allow path
+    all exercised; the oracle rebuilds both tables in SQL."""
+    from search_engine_spark.functions.robots import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/p"),
+            (F.col("doc_id") % 10).cast("string"), F.lit("/x"),
+        ).alias("url"),
+    )
+    srcs = docs.select("source").distinct().filter(F.col("source") != "src9")
+    triple = F.array(
+        F.struct(F.lit("/p1").alias("path_prefix"), F.lit(False).alias("allow")),
+        F.struct(F.lit("/p1/x").alias("path_prefix"), F.lit(True).alias("allow")),
+        F.struct(F.lit("/p3").alias("path_prefix"), F.lit(False).alias("allow")),
+    )
+    rules = srcs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org"))
+        .alias("domain_key"),
+        F.explode(triple).alias("r"),
+    ).select("domain_key", "r.path_prefix", "r.allow")
+    rules = rules.union(
+        spark.createDataFrame(
+            [("https://src0.example.org", "", False)],
+            "domain_key string, path_prefix string, allow boolean",
+        )
+    )
+    return robots_filter(urls, rules)
+
+
 def _url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T7 (UrlNormalizer.normalize + extractDomain) over
     deterministically synthesized messy URLs — mixed-case scheme/host,
@@ -942,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pii_redact"] = q(_pii_redact)
     # reference T7 (UrlNormalizer) over synthesized messy URLs
     out["url_normalize"] = q(_url_normalize)
+    # reference P7 (RobotsChecker.isAllowed) as a batch rules join
+    out["robots_allowed"] = q(_robots_allowed)
 
     # --- similarity search --------------------------------------------------
     def _qvec(s, d):
@@ -1618,6 +1656,30 @@ FROM g
 WITH inj AS (SELECT doc_id, {_inj} AS t FROM documents)
 SELECT doc_id, {_cur} AS clean, {", ".join(_steps)}
 FROM inj
+"""
+
+    # --- robots predicate (P7): same synthesized urls + rules tables,
+    #     longest-prefix via the same integer encoding ---------------------
+    sql["robots_allowed"] = """
+WITH srcs AS (SELECT DISTINCT source FROM documents WHERE source <> 'src9'),
+rules AS (
+  SELECT 'https://' || source || '.example.org' AS domain_key, r.path_prefix, r.allow
+  FROM srcs CROSS JOIN (VALUES ('/p1', false), ('/p1/x', true), ('/p3', false))
+       AS r(path_prefix, allow)
+  UNION ALL SELECT 'https://src0.example.org', '', false
+),
+u AS (
+  SELECT doc_id, 'https://' || source || '.example.org' AS dk,
+         '/p' || CAST(doc_id % 10 AS VARCHAR) || '/x' AS path
+  FROM documents
+),
+j AS (
+  SELECT u.doc_id, length(r.path_prefix) * 2 + CAST(r.allow AS INT) AS score
+  FROM u LEFT JOIN rules r
+    ON u.dk = r.domain_key AND starts_with(u.path, r.path_prefix)
+)
+SELECT doc_id, coalesce(max(score) % 2 = 1, true) AS allowed
+FROM j GROUP BY doc_id
 """
 
     # --- url normalization (T7): same injection + same bounded rewrite
