@@ -72,6 +72,9 @@ QUERY_SET = [
     ("term_mixed_df", "baco dafen model the data", "df"),
     ("term_mixed_wand", "baco dafen model the data", "wand"),
     ("phrase", '"spark index"', "df"),
+    # wildcard class: dictionary expansion (df-ranked, bounded) + multi-term
+    # WAND over the expanded OR — measures the term_stats prefix scan too
+    ("prefix_wand", "spar*", "wand"),
     ("logical_and", '"spark index" AND "query model"', "df"),
     ("logical_or", '"spark index" OR "query model"', "df"),
     ("logical_not", '"spark index" NOT "query model"', "df"),
