@@ -1090,6 +1090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tool_usage"] = q(
         lambda s, d: tx.tool_usage(tx.derive_turns(_docs(s, d)))
     )
+    # training-sample extraction: (previous-k-turns context -> assistant
+    # target) pairs — the transcripts->fine-tuning-data transform
+    out["training_samples"] = q(
+        lambda s, d: tx.context_windows(tx.derive_turns(_docs(s, d)), k=3)
+    )
 
     # --- full stemmed engine over transcripts (rows-only; pytest holds the
     #     rank-identity gate for these) -------------------------------------
@@ -1805,6 +1810,17 @@ pairs AS (
 SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM pairs WHERE from_role IS NOT NULL
 GROUP BY from_role, to_role
+"""
+    sql["training_samples"] = f"""
+WITH {_TURNS_CTE}
+SELECT conv_id, turn_idx,
+       coalesce(string_agg(text, chr(30)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+       ), '') AS context,
+       text AS target
+FROM turns
+QUALIFY role = 'assistant'
 """
     sql["tool_usage"] = f"""
 WITH {_TURNS_CTE},

@@ -144,6 +144,37 @@ def role_transitions(turns: DataFrame) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("n"))
 
 
+CTX_SEP = "\x1e"  # record separator between context turns
+
+
+def context_windows(turns: DataFrame, k: int = 3,
+                    sep: str = CTX_SEP) -> DataFrame:
+    """Training-sample extraction: one row per ASSISTANT turn with the
+    previous ``k`` turns (any role) joined in order as ``context`` and the
+    turn text as ``target`` — the (context -> response) pairs a
+    conversational fine-tuning pipeline materializes from raw transcripts.
+    Conversation-opening assistant turns keep an empty context.
+
+    One shuffle on conv_id; the sliding frame is a bounded window (``k``
+    rows), so state per row is O(k) regardless of conversation length."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, -1)
+    )
+    ctx = F.array_join(F.collect_list("text").over(w), sep)
+    return (
+        turns.withColumn("context", ctx)
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "context",
+            F.col("text").alias("target"),
+        )
+    )
+
+
 def tool_usage(turns: DataFrame) -> DataFrame:
     """Per-tool accounting: call count, conversations reached, mean words
     in the tool turn, and mean seconds until the NEXT turn (the tool's

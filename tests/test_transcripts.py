@@ -144,3 +144,30 @@ def test_ops_run_on_real_corpus_shape(transcripts_df):
     assert tx.role_transitions(transcripts_df).count() > 0
     fp = tx.conv_fingerprints(transcripts_df)
     assert fp.select("conv_id").distinct().count() == fp.count()
+
+
+def test_context_windows_training_samples(spark):
+    t = _turns(
+        spark,
+        [
+            ("a", 0, "user", "t0", None, _ts(0)),
+            ("a", 1, "assistant", "t1", None, _ts(1)),
+            ("a", 2, "user", "t2", None, _ts(2)),
+            ("a", 3, "assistant", "t3", None, _ts(3)),
+            ("a", 4, "tool", "t4", "search", _ts(4)),
+            ("a", 5, "assistant", "t5", None, _ts(5)),
+            # conversation OPENING with an assistant turn -> empty context
+            ("b", 0, "assistant", "hi", None, _ts(0)),
+        ],
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["context"], r["target"])
+        for r in tx.context_windows(t, k=3).collect()
+    }
+    s = tx.CTX_SEP
+    assert got[("a", 1)] == ("t0", "t1")
+    assert got[("a", 3)] == (s.join(["t0", "t1", "t2"]), "t3")
+    # k=3 window slides: turns 2,3,4 (any role) form the context of turn 5
+    assert got[("a", 5)] == (s.join(["t2", "t3", "t4"]), "t5")
+    assert got[("b", 0)] == ("", "hi")
+    assert len(got) == 4  # assistant turns only
