@@ -836,6 +836,8 @@ def _url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_Q = "s*"       # wildcard query: expands against the dictionary
 PREFIX_LIMIT = 4      # < number of s-terms in the corpus -> cap exercised
 SPELL_WORD = "sor"    # dist 1 of 'sort', dist 2 of 'slow'/'row' -> mixed ranks
+FUZZY_WORD = "lin"    # dist 1 of 'line', dist 2 of 'join'/'big' -> mixed ranks
+FUZZY_LIMIT = 3       # all three expansions kept; ranking order still gates
 
 
 def _prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +862,55 @@ def _spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _docs_index(spark, sf_dir)
     return spell_suggest(spark, store, SPELL_WORD, max_dist=2, k=5)
+
+
+NEAR_A, NEAR_B = "table", "filter"  # analyzed corpus terms, both kept
+NEAR_W = 3                          # exercises the clamp at pos < w too
+
+
+def _near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION proximity path over the no-stem docs index: pruned
+    segment scan -> per-drange kernel (compact docID intersection +
+    block-skip positional decode + two searchsorted probes per occurrence)
+    -> (doc_id, pair_count). Oracle: position self-join within |Δpos| <=
+    w."""
+    from search_engine_spark.query.proximity import near_matches
+
+    store = _docs_index(spark, sf_dir)
+    return near_matches(spark, store, NEAR_A, NEAR_B, NEAR_W).select(
+        "doc_id", "pair_count"
+    )
+
+
+def _near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR query through the FULL pipeline: parser detects
+    ``table NEAR/3 filter``, the segment kernel counts qualifying pairs,
+    and the match set scores as a synthetic BM25 term (tf = pair_count,
+    df = |matching docs|), top-k."""
+    from search_engine_spark.query.pipeline import search
+
+    store = _docs_index(spark, sf_dir)
+    res = search(
+        spark, store, f"{NEAR_A} NEAR/{NEAR_W} {NEAR_B}", k=K,
+        engine="df", with_metadata=False,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query through the FULL pipeline: parser detects ``lin~``,
+    ``suggest.expand_fuzzy`` picks the top-``FUZZY_LIMIT`` dictionary terms
+    within edit distance 2 ranked (dist, df desc, term), and WAND scores
+    their OR with qtf=1 each — Lucene FuzzyQuery semantics. Oracle replays
+    the same expansion with DuckDB's levenshtein."""
+    from search_engine_spark.query.pipeline import search
+
+    store = _docs_index(spark, sf_dir)
+    res = search(
+        spark, store, f"{FUZZY_WORD}~", k=K, engine="wand",
+        with_metadata=False, prefix_limit=FUZZY_LIMIT,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _transcripts_search(engine: str):
@@ -1063,6 +1114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delete -> compact -> query (tombstones, physical rewrite, exact
     # stat recount) hash-checked end-to-end
     out["index_bm25_compacted"] = q(_index_bm25_compacted)
+    # proximity (NEAR/w): segment-served window co-occurrence — raw pair
+    # counts, and the full pipeline (parser -> kernel -> synthetic-term
+    # BM25 -> top-k)
+    out["near_match"] = q(_near_match)
+    out["near_search"] = q(_near_search)
 
     # --- dictionary queries over the production index (term_stats scan:
     #     pushed StartsWith / length-band predicates over term-sorted row
@@ -1071,6 +1127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WAND), cap 4 < matching-term count so the df-ranked cut is exercised
     out["prefix_search"] = q(_prefix_search)
     out["spell_suggest"] = q(_spell_suggest)
+    # fuzzy expansion through the FULL pipeline (parser -> edit-distance
+    # expand -> WAND): 'lin~' -> line(d1), join(d2), big(d2)
+    out["fuzzy_search"] = q(_fuzzy_search)
 
     # --- conversation-level transcript analytics (payload axis): operators
     #     take the canonical (conv_id, turn_idx, role, text, tool, ts)
@@ -1366,6 +1425,34 @@ FROM tf GROUP BY term
     sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     for op in ("AND", "OR", "NOT"):
         sql[f"index_logical_{op.lower()}"] = _logical_sql(op, K)
+    # NEAR/w: pairs of positions within |Δpos| <= w, per doc
+    _near_m = f"""
+m AS (
+  SELECT a.doc_id, count(*) AS pc
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+  WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
+    AND abs(a.pos - b.pos) <= {NEAR_W}
+  GROUP BY a.doc_id
+)"""
+    sql["near_match"] = f"""
+WITH {_KEPT_CTE}, {_near_m}
+SELECT doc_id, pc AS pair_count FROM m
+"""
+    sql["near_search"] = f"""
+WITH {_KEPT_CTE}, {_DL_CTE}, {_near_m},
+s AS (
+  SELECT m.doc_id,
+         ln(1.0 + (stats.n_docs - df.dfv + 0.5) / (df.dfv + 0.5))
+         * (m.pc * 2.2 / (m.pc + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))
+         AS score
+  FROM m
+  CROSS JOIN (SELECT count(*) AS dfv FROM m) df
+  CROSS JOIN (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl) stats
+  JOIN dl ON dl.doc_id = m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
     sql["phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     for op in ("AND", "OR", "NOT"):
         sql[f"logical_{op.lower()}"] = _logical_sql(op, K)
@@ -1750,6 +1837,32 @@ qsel AS (
   SELECT term, df FROM dfreq_all
   WHERE term LIKE '{PREFIX_Q[:-1]}%'
   ORDER BY df DESC, term LIMIT {PREFIX_LIMIT}
+),
+tf AS (
+  SELECT doc_id, kept.term, count(*) AS tf FROM kept
+  JOIN qsel USING (term) GROUP BY doc_id, kept.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - q.df + 0.5) / (q.df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN qsel q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+    sql["fuzzy_search"] = f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term),
+qsel AS (
+  SELECT term, df FROM dfreq_all
+  WHERE abs(length(term) - {len(FUZZY_WORD)}) <= 2
+    AND levenshtein(term, '{FUZZY_WORD}') <= 2
+  ORDER BY levenshtein(term, '{FUZZY_WORD}'), df DESC, term
+  LIMIT {FUZZY_LIMIT}
 ),
 tf AS (
   SELECT doc_id, kept.term, count(*) AS tf FROM kept

@@ -15,11 +15,26 @@ from dataclasses import dataclass
 
 _LOGICAL_RE = re.compile(r'^\s*"([^"]*)"\s+(AND|OR|NOT)\s+"([^"]*)"\s*$')
 
+# proximity: `alpha NEAR/3 beta` (quotes optional) — unordered two-term
+# window co-occurrence, an engine extension beyond the reference (Lucene
+# SpanNearQuery semantics). Either side analyzing to != 1 term degenerates
+# the whole query to free text, mirroring the reference's degeneration
+# rules for underfilled phrases.
+_NEAR_RE = re.compile(
+    r'^\s*"?([A-Za-z]+)"?\s+NEAR/(\d+)\s+"?([A-Za-z]+)"?\s*$'
+)
+
 # wildcard token in a free-text query: `mach*` — expanded against the term
 # dictionary at serve time (query/suggest.expand_prefix). An engine
 # extension beyond the reference (its QueryProcessor matches exact terms
 # only); only the trailing-star prefix form is supported.
 _WILDCARD_RE = re.compile(r"\b([A-Za-z]+)\*")
+
+# fuzzy token in a free-text query: `lin~` — expanded against the term
+# dictionary at serve time (query/suggest.expand_fuzzy, Lucene FuzzyQuery
+# semantics: dictionary terms within edit distance 2, ranked dist/df).
+# Like the wildcard, an engine extension beyond the reference.
+_FUZZY_RE = re.compile(r"\b([A-Za-z]+)~")
 
 
 @dataclass
@@ -31,6 +46,8 @@ class ParsedQuery:
     left: "ParsedQuery | None" = None   # logical
     right: "ParsedQuery | None" = None  # logical
     prefixes: list[str] | None = None   # term: wildcard prefixes to expand
+    fuzzies: list[str] | None = None    # term: fuzzy words to expand
+    window: int | None = None           # near: max position distance
 
 
 def parse_query(query: str, stem: bool = True) -> ParsedQuery:
@@ -46,6 +63,15 @@ def parse_query(query: str, stem: bool = True) -> ParsedQuery:
             if len(side.terms or []) < 2:
                 side.kind = "term"
         return ParsedQuery("logical", q, op=m.group(2), left=left, right=right)
+    m = _NEAR_RE.match(q)
+    if m:
+        a = analyze_query(m.group(1), stem=stem)
+        b = analyze_query(m.group(3), stem=stem)
+        w = int(m.group(2))
+        if len(a) == 1 and len(b) == 1 and a != b and w >= 1:
+            return ParsedQuery("near", q, terms=a + b, window=w)
+        # degenerate (stopword/empty side, same term, zero window): free text
+        return ParsedQuery("term", q, terms=a + b)
     if q.startswith('"'):
         inner = q.strip('"')
         terms = analyze_query(inner, stem=stem)
@@ -53,7 +79,10 @@ def parse_query(query: str, stem: bool = True) -> ParsedQuery:
         return ParsedQuery(kind, q, terms=terms)
     prefixes = [m.lower() for m in _WILDCARD_RE.findall(q)]
     rest = _WILDCARD_RE.sub(" ", q)
+    fuzzies = [m.lower() for m in _FUZZY_RE.findall(rest)]
+    rest = _FUZZY_RE.sub(" ", rest)
     return ParsedQuery(
         "term", q, terms=analyze_query(rest, stem=stem),
         prefixes=prefixes or None,
+        fuzzies=fuzzies or None,
     )

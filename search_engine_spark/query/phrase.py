@@ -270,6 +270,102 @@ def _in_sorted(values: np.ndarray, table: np.ndarray) -> np.ndarray:
     return out
 
 
+def gather_candidate_keys(
+    parts: list[dict], cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Composite ``doc_id << _POS_BITS | pos`` keys for the candidate docs'
+    positions of ONE term, decoded with per-block skips: only positional
+    blocks whose posting range contains a candidate are varbyte-decoded
+    (contiguous needed blocks decode as single runs; gaps skip at byte
+    granularity). ``parts`` is the per-chunk list a segment kernel builds
+    (``ids``/``tfs``/``dls`` arrays + ``pos`` PositionalSegment per chunk,
+    chunks in ascending docID order). Returns ``(keys, dl_ids, dl_vals)``
+    — keys ascending, dl arrays aligned per surviving posting — or ``None``
+    when no candidate posting exists. Shared by the phrase/logical segment
+    kernel and the proximity (NEAR/w) kernel."""
+    from ..index.codec import BLOCK_SIZE, varbyte_decode
+
+    key_chunks, dl_id_chunks, dl_chunks = [], [], []
+    for p in parts:
+        ids, tfs = p["ids"], p["tfs"]
+        sel = np.flatnonzero(_in_sorted(ids, cand))
+        if sel.size == 0:
+            continue
+        dl_id_chunks.append(ids[sel])
+        dl_chunks.append(p["dls"][sel])
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        blocks = np.unique(sel // BLOCK_SIZE)
+        # contiguous needed blocks decode as one run (one varbyte
+        # call); gaps between runs are skipped at byte granularity
+        splits = np.flatnonzero(np.diff(blocks) > 1) + 1
+        for run in np.split(blocks, splits):
+            b0, b1 = int(run[0]), int(run[-1]) + 1
+            lo = b0 * BLOCK_SIZE
+            hi = min(b1 * BLOCK_SIZE, ids.size)
+            cnt = int(tf_cum[hi] - tf_cum[lo])
+            pos_run = varbyte_decode(p["pos"].block_bytes(b0, b1), cnt)
+            in_run = sel[(sel >= lo) & (sel < hi)]
+            s0 = tf_cum[in_run] - tf_cum[lo]
+            s1 = tf_cum[in_run + 1] - tf_cum[lo]
+            counts = s1 - s0
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            shift = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            idx = np.arange(total, dtype=np.int64) + np.repeat(
+                s0 - shift, counts
+            )
+            pos_sel = pos_run[idx]
+            if int(pos_sel.max()) >= (1 << _POS_BITS) - 64:
+                raise ValueError(
+                    f"position {int(pos_sel.max())} >= "
+                    f"2^{_POS_BITS} - 64; doc too long for the "
+                    "composite phrase key"
+                )
+            doc_rep = np.repeat(ids[in_run], counts)
+            key_chunks.append((doc_rep << _POS_BITS) | pos_sel)
+    if not key_chunks:
+        return None
+    return (
+        np.concatenate(key_chunks),
+        np.concatenate(dl_id_chunks),
+        np.concatenate(dl_chunks),
+    )
+
+
+def decode_segment_parts(pdf: pd.DataFrame) -> dict[str, list[dict]]:
+    """Per-term chunk parts from ONE doc-range's segment rows: decode the
+    compact docID/tf/dl streams, keep the positional stream as a lazily
+    block-decodable ``PositionalSegment``. A (term, drange) pair can span
+    multiple chunks after streaming appends — chunks occupy disjoint
+    ascending docID ranges, so sorting parts by first docID restores global
+    order. Shared by the phrase/logical and proximity segment kernels."""
+    from ..index.codec import PositionalSegment, PostingSegment
+
+    per_term: dict[str, list] = {}
+    for t, pb, xb in zip(pdf["term"], pdf["postings"], pdf["positions"]):
+        if xb is None:
+            raise ValueError(
+                "segment row lacks a positional stream (chunk written "
+                "before the positional-segment column) — compact or "
+                "rebuild the index to serve phrases from segments"
+            )
+        per_term.setdefault(t, []).append((bytes(pb), bytes(xb)))
+    parts_of: dict[str, list[dict]] = {}
+    for t, lst in per_term.items():
+        parts = []
+        for pb, xb in lst:
+            seg = PostingSegment(pb)
+            ids, tfs, dls = seg.decode_all()
+            parts.append(
+                {"ids": ids, "tfs": tfs, "dls": dls,
+                 "pos": PositionalSegment(xb)}
+            )
+        parts.sort(key=lambda p: int(p["ids"][0]))
+        parts_of[t] = parts
+    return parts_of
+
+
 def _seg_kernel(sides: list[list[str]]):
     """applyInPandas kernel over ONE doc-range's segment rows: decode the
     compact docID/tf/dl streams fully (they are the candidate intersection
@@ -279,13 +375,6 @@ def _seg_kernel(sides: list[list[str]]):
     into byte-range skips. Emits (side, doc_id, phrase_count, doc_len) per
     matched side, identical to the row kernel ``_match_kernel_multi``."""
     side_sets = [sorted(set(ts)) for ts in sides]
-
-    from ..index.codec import (
-        BLOCK_SIZE,
-        PositionalSegment,
-        PostingSegment,
-        varbyte_decode,
-    )
 
     empty = pd.DataFrame(
         {
@@ -297,30 +386,7 @@ def _seg_kernel(sides: list[list[str]]):
     )
 
     def shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one list per term; a (term, drange) pair can span multiple chunks
-        # after streaming appends — chunks occupy disjoint ascending docID
-        # ranges, so sorting parts by first docID restores global order
-        per_term: dict[str, list] = {}
-        for t, pb, xb in zip(pdf["term"], pdf["postings"], pdf["positions"]):
-            if xb is None:
-                raise ValueError(
-                    "segment row lacks a positional stream (chunk written "
-                    "before the positional-segment column) — compact or "
-                    "rebuild the index to serve phrases from segments"
-                )
-            per_term.setdefault(t, []).append((bytes(pb), bytes(xb)))
-        parts_of: dict[str, list[dict]] = {}
-        for t, lst in per_term.items():
-            parts = []
-            for pb, xb in lst:
-                seg = PostingSegment(pb)
-                ids, tfs, dls = seg.decode_all()
-                parts.append(
-                    {"ids": ids, "tfs": tfs, "dls": dls,
-                     "pos": PositionalSegment(xb)}
-                )
-            parts.sort(key=lambda p: int(p["ids"][0]))
-            parts_of[t] = parts
+        parts_of = decode_segment_parts(pdf)
 
         def ids_of(t: str) -> np.ndarray:
             ps = parts_of[t]
@@ -358,51 +424,11 @@ def _seg_kernel(sides: list[list[str]]):
                     )
             if cand is None or cand.size == 0:
                 continue
-            key_chunks, dl_id_chunks, dl_chunks = [], [], []
-            for p in parts:
-                ids, tfs = p["ids"], p["tfs"]
-                sel = np.flatnonzero(_in_sorted(ids, cand))
-                if sel.size == 0:
-                    continue
-                dl_id_chunks.append(ids[sel])
-                dl_chunks.append(p["dls"][sel])
-                tf_cum = np.concatenate(([0], np.cumsum(tfs)))
-                blocks = np.unique(sel // BLOCK_SIZE)
-                # contiguous needed blocks decode as one run (one varbyte
-                # call); gaps between runs are skipped at byte granularity
-                splits = np.flatnonzero(np.diff(blocks) > 1) + 1
-                for run in np.split(blocks, splits):
-                    b0, b1 = int(run[0]), int(run[-1]) + 1
-                    lo = b0 * BLOCK_SIZE
-                    hi = min(b1 * BLOCK_SIZE, ids.size)
-                    cnt = int(tf_cum[hi] - tf_cum[lo])
-                    pos_run = varbyte_decode(p["pos"].block_bytes(b0, b1), cnt)
-                    in_run = sel[(sel >= lo) & (sel < hi)]
-                    s0 = tf_cum[in_run] - tf_cum[lo]
-                    s1 = tf_cum[in_run + 1] - tf_cum[lo]
-                    counts = s1 - s0
-                    total = int(counts.sum())
-                    if total == 0:
-                        continue
-                    shift = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                    idx = np.arange(total, dtype=np.int64) + np.repeat(
-                        s0 - shift, counts
-                    )
-                    pos_sel = pos_run[idx]
-                    if int(pos_sel.max()) >= (1 << _POS_BITS) - 64:
-                        raise ValueError(
-                            f"position {int(pos_sel.max())} >= "
-                            f"2^{_POS_BITS} - 64; doc too long for the "
-                            "composite phrase key"
-                        )
-                    doc_rep = np.repeat(ids[in_run], counts)
-                    key_chunks.append((doc_rep << _POS_BITS) | pos_sel)
-            if key_chunks:
-                term_keys[t] = np.concatenate(key_chunks)
-                term_dl[t] = (
-                    np.concatenate(dl_id_chunks),
-                    np.concatenate(dl_chunks),
-                )
+            gathered = gather_candidate_keys(parts, cand)
+            if gathered is not None:
+                keys, dl_ids, dl_vals = gathered
+                term_keys[t] = keys
+                term_dl[t] = (dl_ids, dl_vals)
 
         outs = []
         for si, ts in enumerate(sides):

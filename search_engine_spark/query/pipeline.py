@@ -45,6 +45,13 @@ def _score_side(
 
         for p in pq.prefixes:
             terms.extend(expand_prefix(spark, store, p, limit=prefix_limit))
+    if pq.fuzzies:
+        # fuzzy tokens: dictionary terms within edit distance 2, ranked
+        # (dist, df desc, term), bounded — scored as ordinary query terms
+        from .suggest import expand_fuzzy
+
+        for w in pq.fuzzies:
+            terms.extend(expand_fuzzy(spark, store, w, limit=prefix_limit))
     if engine == "wand" and k is not None:
         return bm25_topk_wand(spark, store, terms, k=k)
     return bm25_topk(spark, store, terms, k=k)
@@ -110,6 +117,15 @@ def search(
             left = _score_side(spark, store, pq.left, engine, k=None)
             right = _score_side(spark, store, pq.right, engine, k=None)
         topk = combine(left, right, pq.op, k=fetch_k)
+    elif pq.kind == "near":
+        # proximity: segment-served NEAR/w pair counting scored as a
+        # synthetic term (same BM25 shape as phrase matches)
+        from .proximity import near_topk
+
+        topk = near_topk(
+            spark, store, pq.terms[0], pq.terms[1], pq.window or 1,
+            k=fetch_k,
+        )
     else:
         topk = _score_side(
             spark, store, pq, engine, k=fetch_k, prefix_limit=prefix_limit

@@ -80,3 +80,20 @@ def spell_suggest(
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(int(k))
     )
+
+
+FUZZY_EXPAND_LIMIT = 8
+
+
+def expand_fuzzy(
+    spark: SparkSession, store: IndexStore, word: str,
+    max_dist: int = 2, limit: int = FUZZY_EXPAND_LIMIT,
+) -> list[str]:
+    """Top-``limit`` dictionary terms within ``max_dist`` edits of ``word``
+    (Lucene FuzzyQuery semantics), ranked (dist asc, df desc, term asc) —
+    ``spell_suggest``'s scan (pushed length-band filter + JVM levenshtein)
+    collected into a plain term list: expansion terms join the query with
+    qtf = 1 each, exactly like wildcard expansions. ≤ ``limit`` terms ever
+    reach the driver; they become ordinary query terms from there."""
+    rows = spell_suggest(spark, store, word, max_dist=max_dist, k=limit)
+    return [r["term"] for r in rows.collect()]
