@@ -29,32 +29,43 @@ def _score_side(
     pos_rows: DataFrame | None = None,
     pos_rows_partitioned: bool = False,
     prefix_limit: int = 8,
+    terms_override: list[str] | None = None,
 ) -> DataFrame:
     if pq.kind == "phrase":
         return phrase_topk(
             spark, store, pq.terms or [], k=k, pos_rows=pos_rows,
             pos_rows_partitioned=pos_rows_partitioned,
         )
+    terms = (
+        _expand_terms(spark, store, pq, prefix_limit)
+        if terms_override is None
+        else terms_override
+    )
+    if engine == "wand" and k is not None:
+        return bm25_topk_wand(spark, store, terms, k=k)
+    return bm25_topk(spark, store, terms, k=k)
+
+
+def _expand_terms(
+    spark: SparkSession, store: IndexStore, pq: ParsedQuery, prefix_limit: int
+) -> list[str]:
+    """Literal query terms plus dictionary expansions. Wildcard tokens
+    expand df-ranked and bounded; a term appearing both literally and via
+    expansion accumulates qtf, like a repeated user-typed term. Fuzzy
+    tokens expand to dictionary terms within edit distance 2, ranked
+    (dist, df desc, term), bounded — all scored as ordinary query terms."""
     terms = list(pq.terms or [])
     if pq.prefixes:
-        # wildcard tokens: expand each against the dictionary (df-ranked,
-        # bounded) and score the union as ordinary query terms — a term
-        # appearing both literally and via expansion accumulates qtf, like
-        # a repeated user-typed term
         from .suggest import expand_prefix
 
         for p in pq.prefixes:
             terms.extend(expand_prefix(spark, store, p, limit=prefix_limit))
     if pq.fuzzies:
-        # fuzzy tokens: dictionary terms within edit distance 2, ranked
-        # (dist, df desc, term), bounded — scored as ordinary query terms
         from .suggest import expand_fuzzy
 
         for w in pq.fuzzies:
             terms.extend(expand_fuzzy(spark, store, w, limit=prefix_limit))
-    if engine == "wand" and k is not None:
-        return bm25_topk_wand(spark, store, terms, k=k)
-    return bm25_topk(spark, store, terms, k=k)
+    return terms
 
 
 def search(
@@ -84,6 +95,7 @@ def search(
     stem = bool(store.corpus_stats().get("stem", True))
     pq = parse_query(query, stem=stem)
     fetch_k = k if not blend_popularity else max(4 * k, 50)
+    expanded: list[str] | None = None  # dictionary expansions, if any
     if pq.kind == "logical":
         l_terms, r_terms = (pq.left.terms or []), (pq.right.terms or [])
         if (
@@ -127,8 +139,15 @@ def search(
             k=fetch_k,
         )
     else:
+        # expand once: scoring and snippet highlighting share the terms
+        expanded = (
+            _expand_terms(spark, store, pq, prefix_limit)
+            if (pq.prefixes or pq.fuzzies)
+            else None
+        )
         topk = _score_side(
-            spark, store, pq, engine, k=fetch_k, prefix_limit=prefix_limit
+            spark, store, pq, engine, k=fetch_k, prefix_limit=prefix_limit,
+            terms_override=expanded,
         )
 
     if blend_popularity:
@@ -173,7 +192,13 @@ def search(
     )
     enriched = docs.join(F.broadcast(topk), "doc_id", "inner")
     raw_tokens = tokenize(pq.raw.replace('"', " "))
-    enriched = add_snippets(enriched, raw_tokens)
+    # dictionary expansions highlight too: fuzzy/wildcard expansion terms
+    # as whole words, wildcard prefixes additionally as word-prefix matches
+    # (an expansion term that is a stem may not appear verbatim in text)
+    extra = [t for t in (expanded or []) if t not in raw_tokens]
+    enriched = add_snippets(
+        enriched, raw_tokens + extra, prefixes=pq.prefixes
+    )
     # Window over <= k rows — driver-size safe by construction.
     w_rank = (
         enriched.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -39,12 +39,18 @@ def _window(text: str, hit: int) -> tuple[int, int]:
     return start, end
 
 
-def window_spans(text: str, query_tokens: list[str]) -> list[tuple[str, int, int]]:
+def window_spans(
+    text: str,
+    query_tokens: list[str],
+    prefixes: list[str] | None = None,
+) -> list[tuple[str, int, int]]:
     """Raw (term, start, end) context-window spans BEFORE merging: one per
     query token's first occurrence (the _window arithmetic incl. sentence
     snapping, Indexer.java:272-287). Exposed separately so the span math has
     a SQL-expressible oracle (__spark_entry__: ``snippet_spans``); merging/
-    ranking/assembly are covered by pytest golden tests."""
+    ranking/assembly are covered by pytest golden tests. ``prefixes``
+    (wildcard query tokens) anchor a window at the first WORD-INITIAL
+    occurrence of the prefix."""
     low = text.lower()
     out = []
     for tok in query_tokens:
@@ -52,15 +58,24 @@ def window_spans(text: str, query_tokens: list[str]) -> list[tuple[str, int, int
         if p >= 0:
             s, e = _window(text, p)
             out.append((tok, s, e))
+    for pre in prefixes or []:
+        m = re.search(r"\b" + re.escape(pre.lower()), low)
+        if m:
+            s, e = _window(text, m.start())
+            out.append((pre, s, e))
     return out
 
 
-def extract_windows(text: str, query_tokens: list[str]) -> list[str]:
+def extract_windows(
+    text: str,
+    query_tokens: list[str],
+    prefixes: list[str] | None = None,
+) -> list[str]:
     """Candidate context windows: one per query token's first occurrence,
     deduplicated/merged when they overlap, ranked complete-sentence-first
     then longer (the reference's snippet sort, Indexer.java:374-379), best
     MAX_WINDOWS kept."""
-    spans = [(s, e) for _, s, e in window_spans(text, query_tokens)]
+    spans = [(s, e) for _, s, e in window_spans(text, query_tokens, prefixes)]
     if not spans:
         return []
     # merge overlapping spans
@@ -77,36 +92,50 @@ def extract_windows(text: str, query_tokens: list[str]) -> list[str]:
     return windows[:MAX_WINDOWS]
 
 
-def highlight(snippet: str, query_tokens: list[str]) -> str:
-    """Case-preserving <strong> wrap (QueryProcessor.java:667-689)."""
-    if not query_tokens or not snippet:
+def highlight(
+    snippet: str,
+    query_tokens: list[str],
+    prefixes: list[str] | None = None,
+) -> str:
+    """Case-preserving <strong> wrap (QueryProcessor.java:667-689).
+    ``query_tokens`` match whole words; ``prefixes`` (wildcard tokens)
+    match any word starting with the prefix."""
+    alts = [re.escape(t) + r"\b" for t in query_tokens]
+    alts += [re.escape(p) + r"\w*" for p in prefixes or []]
+    if not alts or not snippet:
         return snippet
-    pat = re.compile(
-        r"\b(" + "|".join(re.escape(t) for t in query_tokens) + r")\b",
-        re.IGNORECASE,
-    )
+    pat = re.compile(r"\b(" + "|".join(alts) + r")", re.IGNORECASE)
     return pat.sub(lambda m: f"<strong>{m.group(1)}</strong>", snippet)
 
 
-def make_snippet(text: str, query_tokens: list[str]) -> str:
+def make_snippet(
+    text: str,
+    query_tokens: list[str],
+    prefixes: list[str] | None = None,
+) -> str:
     """Best-snippet assembly for one doc: up to MAX_WINDOWS merged context
     windows (joined ' ... ' like the reference's multi-term snippet join,
     QueryProcessor.java:690-707), highlighted."""
     if not text:
         return ""
-    windows = extract_windows(text, query_tokens)
+    windows = extract_windows(text, query_tokens, prefixes)
     if not windows:
         snippet = text[: 2 * WINDOW]
     else:
         snippet = " ... ".join(windows)
-    return highlight(snippet, query_tokens).strip()
+    return highlight(snippet, query_tokens, prefixes).strip()
 
 
-def add_snippets(topk_with_text: DataFrame, query_tokens: list[str]) -> DataFrame:
+def add_snippets(
+    topk_with_text: DataFrame,
+    query_tokens: list[str],
+    prefixes: list[str] | None = None,
+) -> DataFrame:
     toks = [t for t in query_tokens if t]
+    pres = [p for p in (prefixes or []) if p]
 
     @pandas_udf("string")
     def snip(texts: pd.Series) -> pd.Series:
-        return pd.Series([make_snippet(t or "", toks) for t in texts])
+        return pd.Series([make_snippet(t or "", toks, pres) for t in texts])
 
     return topk_with_text.withColumn("snippet", snip(F.col("text")))

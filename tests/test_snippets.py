@@ -67,3 +67,43 @@ def test_search_json_sink(spark, index_store):
     parsed = [json.loads(r) for r in rows]
     assert parsed[0]["rank"] == 1
     assert {"doc_id", "score", "conv_id", "snippet"} <= set(parsed[0])
+
+
+def test_highlight_prefixes_match_word_starts():
+    from search_engine_spark.query.snippets import highlight
+
+    got = highlight("Spark sparkles despair spa", [], prefixes=["spar"])
+    assert got == (
+        "<strong>Spark</strong> <strong>sparkles</strong> despair spa"
+    )
+    # tokens and prefixes combine; tokens stay whole-word
+    got = highlight("spa spark spas", ["spa"], prefixes=["spark"])
+    assert got == "<strong>spa</strong> <strong>spark</strong> spas"
+
+
+def test_window_spans_prefix_anchors_word_initial():
+    from search_engine_spark.query.snippets import window_spans
+
+    text = "despair everywhere. " + "x" * 400 + " spark here."
+    spans = window_spans(text, [], prefixes=["spar"])
+    assert len(spans) == 1
+    term, s, e = spans[0]
+    assert term == "spar"
+    # anchored at the word-initial 'spark' (hit 421, window start 271),
+    # not inside 'despair' (which would start the window at 0)
+    assert s == 271 and "spark" in text[s:e]
+
+
+def test_pipeline_wildcard_snippet_highlights_expansions(spark, index_store):
+    from search_engine_spark.query.pipeline import search
+
+    d = {
+        r["term"]: r["df"]
+        for r in index_store.term_stats(spark).select("term", "df").collect()
+    }
+    prefix = max(d, key=lambda t: d[t])[:2]
+    rows = search(
+        spark, index_store, f"{prefix}*", k=3, engine="wand", prefix_limit=4
+    ).collect()
+    assert rows
+    assert any("<strong>" in (r["snippet"] or "") for r in rows)
