@@ -75,6 +75,9 @@ QUERY_SET = [
     # wildcard class: dictionary expansion (df-ranked, bounded) + multi-term
     # WAND over the expanded OR — measures the term_stats prefix scan too
     ("prefix_wand", "spar*", "wand"),
+    # proximity class: segment-served NEAR/w pair counting (same pruned
+    # scan + per-drange kernel shape as phrase, plus the window probes)
+    ("near", "index NEAR/4 model", "df"),
     ("logical_and", '"spark index" AND "query model"', "df"),
     ("logical_or", '"spark index" OR "query model"', "df"),
     ("logical_not", '"spark index" NOT "query model"', "df"),
