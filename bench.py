@@ -13,7 +13,9 @@ Methodology notes (see BENCH section of BASELINE.md):
   local[4N] on identical input: efficiency =
   (throughput_4N / throughput_N) / 4.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (headline numbers only — the driver's tail
+capture is ~2000 chars) and writes the full attempt/membw/host-window
+detail to ``bench_detail.json`` next to this file:
   {"metric": ..., "value": <full-build seconds at high parallelism>,
    "unit": "sec", "queries": {name: sec, ...}, "sf": ..., ...}
 
@@ -440,7 +442,15 @@ def main() -> None:
     manifests = big_store.manifests()
     spark.stop()
 
-    print(json.dumps({
+    # degraded-host flag (ADVICE r4): the window gate self-calibrates to
+    # the best probe THIS run demonstrated, so a uniformly-throttled boot
+    # can still yield window_ok=true. Consumers comparing BENCH across
+    # rounds need to know when the whole run sat below the healthy
+    # reference — the ratio is recorded, the pair is still valid (uniform
+    # degradation biases efficiency DOWN, see the _window_ok comment).
+    degraded_host = _MAX_PROBE_SEEN[0] < WINDOW_FLOOR * HEALTHY_MHS
+
+    detail = {
         "metric": "transcript inverted-index build + BM25 top-k query",
         "value": round(hi["t_full"], 3),
         "unit": "sec",
@@ -453,6 +463,7 @@ def main() -> None:
             "probes_mhs": at_scale_probes,
             "window_ok": _window_ok(at_scale_probes),
             "attempts": at_scale_attempts,
+            "degraded_host": degraded_host,
         },
         "n_turns": n_full,
         "throughput": {
@@ -477,6 +488,7 @@ def main() -> None:
             "membw": best["membw"],
             "efficiency_vs_hw_ceiling": best["efficiency_vs_membw_ceiling"],
             "window_ok": best["window_ok"],
+            "degraded_host": degraded_host,
             "attempts": [
                 {"efficiency": a["efficiency"], "probes_mhs": a["probes_mhs"],
                  "membw": a["membw"], "window_ok": a["window_ok"]}
@@ -505,7 +517,44 @@ def main() -> None:
                 mf.get("pos_bytes", 0) for mf in manifests
             ),
         },
-    }))
+    }
+
+    # full attempt/membw/host-window detail goes to a sidecar file — the
+    # driver's tail capture is ~2000 chars and BENCH_r04's final line
+    # overflowed it ("parsed": null). The LAST stdout line is a COMPACT
+    # headline-only JSON guaranteed to fit.
+    detail_path = REPO / "bench_detail.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": SF,
+        "queries": queries,
+        "query_p95_sec": p95,
+        "queries_at_scale": queries_at_scale,
+        "query_p95_at_scale_sec": p95_at_scale,
+        "at_scale_window_ok": _window_ok(at_scale_probes),
+        "n_turns": n_full,
+        "throughput": detail["throughput"],
+        "scaling": {
+            "cores_lo": LO_CPUS,
+            "cores_hi": HI_CPUS,
+            "efficiency": round(efficiency, 3),
+            "efficiency_vs_hw_ceiling": best["efficiency_vs_membw_ceiling"],
+            "membw_ceiling": best["membw"]["ceiling"],
+            "window_ok": best["window_ok"],
+            "n_attempts": len(attempts),
+        },
+        "degraded_host": degraded_host,
+        "max_probe_mhs": _MAX_PROBE_SEEN[0],
+        "detail_file": "bench_detail.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the tail capture
+        compact.pop("queries_at_scale", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,14 @@ _NEAR_RE = re.compile(
     r'^\s*"?([A-Za-z]+)"?\s+NEAR/(\d+)\s+"?([A-Za-z]+)"?\s*$'
 )
 
+# proximity chain: `a NEAR/2 b NEAR/2 c [...]` — ORDERED span chain over
+# n >= 3 terms (Lucene SpanNearQuery inOrder=true): positions p1 < p2 < ...
+# < pn with every consecutive gap <= w. The two-term form above stays
+# unordered (SpanNear inOrder=false), matching round-4 behavior.
+_NEAR_CHAIN_RE = re.compile(
+    r"^\s*[A-Za-z]+(?:\s+NEAR/\d+\s+[A-Za-z]+){2,}\s*$"
+)
+
 # wildcard token in a free-text query: `mach*` — expanded against the term
 # dictionary at serve time (query/suggest.expand_prefix). An engine
 # extension beyond the reference (its QueryProcessor matches exact terms
@@ -39,7 +47,7 @@ _FUZZY_RE = re.compile(r"\b([A-Za-z]+)~")
 
 @dataclass
 class ParsedQuery:
-    kind: str  # 'term' | 'phrase' | 'logical'
+    kind: str  # 'term' | 'phrase' | 'logical' | 'near' | 'near_chain'
     raw: str
     terms: list[str] | None = None      # term / phrase (analyzed)
     op: str | None = None               # logical
@@ -65,13 +73,40 @@ def parse_query(query: str, stem: bool = True) -> ParsedQuery:
         return ParsedQuery("logical", q, op=m.group(2), left=left, right=right)
     m = _NEAR_RE.match(q)
     if m:
+        from .proximity import MAX_WINDOW
+
         a = analyze_query(m.group(1), stem=stem)
         b = analyze_query(m.group(3), stem=stem)
-        w = int(m.group(2))
+        # oversized windows clamp to the kernel's MAX_WINDOW instead of
+        # raising downstream (`a NEAR/999 b` is a valid-intent query; every
+        # other malformed-query path degenerates rather than crashes)
+        w = min(int(m.group(2)), MAX_WINDOW)
         if len(a) == 1 and len(b) == 1 and a != b and w >= 1:
             return ParsedQuery("near", q, terms=a + b, window=w)
         # degenerate (stopword/empty side, same term, zero window): free text
         return ParsedQuery("term", q, terms=a + b)
+    if _NEAR_CHAIN_RE.match(q):
+        from .proximity import MAX_WINDOW
+
+        parts = re.split(r"\s+NEAR/(\d+)\s+", q.strip())
+        words, windows = parts[0::2], {int(x) for x in parts[1::2]}
+        sides = [analyze_query(w0, stem=stem) for w0 in words]
+        terms = [s[0] for s in sides if len(s) == 1]
+        # a well-formed chain: >=3 operands, every operand analyzes to one
+        # term, all distinct, ONE shared window value (the per-link gap
+        # bound — Lucene SpanNear's single-slop model); otherwise the whole
+        # query degenerates to free text like every other malformed form
+        if (
+            len(terms) == len(sides) >= 3
+            and len(set(terms)) == len(terms)
+            and len(windows) == 1
+        ):
+            return ParsedQuery(
+                "near_chain", q, terms=terms,
+                window=min(min(windows), MAX_WINDOW),
+            )
+        flat = [t for s in sides for t in s]
+        return ParsedQuery("term", q, terms=flat)
     if q.startswith('"'):
         inner = q.strip('"')
         terms = analyze_query(inner, stem=stem)

@@ -9,6 +9,8 @@ over compressed segments) — both rank-identical.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -21,6 +23,8 @@ from .parser import ParsedQuery, parse_query
 from .phrase import phrase_topk
 from .snippets import add_snippets
 from .wand import bm25_topk_wand
+
+_NEAR_OP_RE = re.compile(r"\bNEAR/\d+\b")
 
 
 def _score_side(
@@ -138,6 +142,14 @@ def search(
             spark, store, pq.terms[0], pq.terms[1], pq.window or 1,
             k=fetch_k,
         )
+    elif pq.kind == "near_chain":
+        # ordered n-term span chain (a NEAR/w b NEAR/w c): greedy-walk
+        # kernel over the same pruned positional scan
+        from .proximity import near_chain_topk
+
+        topk = near_chain_topk(
+            spark, store, pq.terms or [], pq.window or 1, k=fetch_k,
+        )
     else:
         # expand once: scoring and snippet highlighting share the terms
         expanded = (
@@ -191,7 +203,16 @@ def search(
         .select("doc_id", "conv_id", "turn_idx", "role", "ts", "text")
     )
     enriched = docs.join(F.broadcast(topk), "doc_id", "inner")
-    raw_tokens = tokenize(pq.raw.replace('"', " "))
+    # snippet anchor tokens come from the OPERANDS, not the raw query:
+    # operator words (AND/OR/NOT, the 'near' of NEAR/w) must not highlight
+    # incidental occurrences of themselves in document text
+    if pq.kind == "logical":
+        raw_src = f"{pq.left.raw} {pq.right.raw}"
+    elif pq.kind in ("near", "near_chain"):
+        raw_src = _NEAR_OP_RE.sub(" ", pq.raw)
+    else:
+        raw_src = pq.raw
+    raw_tokens = tokenize(raw_src.replace('"', " "))
     # dictionary expansions highlight too: fuzzy/wildcard expansion terms
     # as whole words, wildcard prefixes additionally as word-prefix matches
     # (an expansion term that is a stem may not appear verbatim in text)

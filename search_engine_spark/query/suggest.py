@@ -34,6 +34,36 @@ from ..index.storage import IndexStore
 
 PREFIX_EXPAND_LIMIT = 8
 
+# driver-side expansion memo: {store epoch key: {(kind, word, params):
+# [terms]}} — a repeated wildcard/fuzzy query must not re-run its
+# dictionary scan (the fuzzy one is a JVM levenshtein over a full length
+# band: ~10^7 rows at a 10^8-term vocabulary). Epoch key mirrors
+# wand._IDF_CACHE: any stats rewrite (append recomputes df, compaction
+# recounts) starts a fresh entry; logical deletes intentionally do NOT
+# invalidate (expansions rank by df, which stays stale until compaction
+# by design).
+_EXPAND_CACHE: dict[tuple, dict[tuple, list[str]]] = {}
+_EXPAND_CACHE_MAX_STORES = 8
+_EXPAND_CACHE_MAX_ENTRIES = 10_000
+
+
+def _expansion_cache(store: IndexStore) -> dict[tuple, list[str]]:
+    c = store.corpus_stats()
+    key = (
+        str(store.dir),
+        c.get("built_unix"),
+        c.get("last_append_unix"),
+        c.get("compacted_unix"),
+    )
+    cache = _EXPAND_CACHE.get(key)
+    if cache is None:
+        while len(_EXPAND_CACHE) >= _EXPAND_CACHE_MAX_STORES:
+            _EXPAND_CACHE.pop(next(iter(_EXPAND_CACHE)))
+        cache = _EXPAND_CACHE[key] = {}
+    elif len(cache) > _EXPAND_CACHE_MAX_ENTRIES:
+        cache.clear()
+    return cache
+
 
 def expand_prefix(
     spark: SparkSession, store: IndexStore, prefix: str,
@@ -43,10 +73,16 @@ def expand_prefix(
     (df desc, term asc) — deterministic under df ties. Returns a plain
     term list: expansion terms join the query's analyzed terms with
     qtf = 1 each (duplicates with literal query terms accumulate qtf,
-    like repeated user-typed terms)."""
+    like repeated user-typed terms). Memoized per store epoch — a repeat
+    query issues no dictionary job."""
     p = (prefix or "").lower()
     if not p:
         return []
+    cache = _expansion_cache(store)
+    ckey = ("prefix", p, int(limit))
+    hit = cache.get(ckey)
+    if hit is not None:
+        return list(hit)
     rows = (
         store.term_stats(spark)
         .filter(F.col("term").startswith(p))
@@ -55,7 +91,9 @@ def expand_prefix(
         .limit(int(limit))
         .collect()
     )
-    return [r["term"] for r in rows]
+    out = [r["term"] for r in rows]
+    cache[ckey] = out
+    return list(out)
 
 
 def spell_suggest(
@@ -94,6 +132,16 @@ def expand_fuzzy(
     ``spell_suggest``'s scan (pushed length-band filter + JVM levenshtein)
     collected into a plain term list: expansion terms join the query with
     qtf = 1 each, exactly like wildcard expansions. ≤ ``limit`` terms ever
-    reach the driver; they become ordinary query terms from there."""
-    rows = spell_suggest(spark, store, word, max_dist=max_dist, k=limit)
-    return [r["term"] for r in rows.collect()]
+    reach the driver; they become ordinary query terms from there.
+    Memoized per store epoch — a repeat fuzzy query issues no dictionary
+    levenshtein job."""
+    w = (word or "").lower()
+    cache = _expansion_cache(store)
+    ckey = ("fuzzy", w, int(max_dist), int(limit))
+    hit = cache.get(ckey)
+    if hit is not None:
+        return list(hit)
+    rows = spell_suggest(spark, store, w, max_dist=max_dist, k=limit)
+    out = [r["term"] for r in rows.collect()]
+    cache[ckey] = out
+    return list(out)

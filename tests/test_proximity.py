@@ -170,3 +170,187 @@ def test_fuzzy_pipeline_equals_manual_expansion(spark, index_store):
         ).collect()
     ]
     assert got == manual
+
+
+# ---------------------------------------------------------------------------
+# oversized-window clamping (ADVICE r4: NEAR/100 crashed instead of clamping)
+# ---------------------------------------------------------------------------
+
+def test_parser_clamps_oversized_window():
+    from search_engine_spark.query.proximity import MAX_WINDOW
+
+    pq = parse_query("table NEAR/100 filter", stem=False)
+    assert pq.kind == "near" and pq.window == MAX_WINDOW
+    pq = parse_query("table NEAR/999 filter NEAR/999 data", stem=False)
+    assert pq.kind == "near_chain" and pq.window == MAX_WINDOW
+
+
+def test_near_999_pipeline_does_not_raise(spark, index_store, oracle_index):
+    """Pipeline-level NEAR/999 (VERDICT r4 next #4): clamps to MAX_WINDOW
+    and returns the same ranking as an explicit MAX_WINDOW query."""
+    from search_engine_spark.query.pipeline import search
+    from search_engine_spark.query.proximity import MAX_WINDOW
+
+    ta, tb = _cooccurring_pair(oracle_index, 3)
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_store, f"{ta} NEAR/{MAX_WINDOW} {tb}", k=10,
+            engine="df", with_metadata=False,
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_store, f"{ta} NEAR/999 {tb}", k=10,
+            engine="df", with_metadata=False,
+        ).collect()
+    ]
+    assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# ordered n-term span chain (VERDICT r4 next #6)
+# ---------------------------------------------------------------------------
+
+def test_parser_near_chain_forms():
+    pq = parse_query("table NEAR/3 filter NEAR/3 data", stem=False)
+    assert pq.kind == "near_chain"
+    assert pq.terms == ["table", "filter", "data"]
+    assert pq.window == 3
+    # mixed window values degenerate (one slop value, Lucene model)
+    assert parse_query("table NEAR/3 filter NEAR/5 data", stem=False).kind == "term"
+    # repeated operand degenerates
+    assert parse_query("table NEAR/3 filter NEAR/3 table", stem=False).kind == "term"
+    # stopword operand degenerates
+    assert parse_query("table NEAR/3 the NEAR/3 data", stem=False).kind == "term"
+
+
+def _chain_oracle(oix, terms: list[str], w: int) -> dict[int, int]:
+    """Independent brute force: per doc, count first-term anchors p1 for
+    which ANY strictly-increasing chain p1 < p2 < ... < pn over the terms'
+    positions satisfies pn - p1 <= w (exhaustive, not greedy)."""
+    maps = [oix.positions.get(t, {}) for t in terms]
+    docs = set(maps[0])
+    for m in maps[1:]:
+        docs &= set(m)
+    out: dict[int, int] = {}
+    for d in sorted(docs):
+        lists = [sorted(m[d]) for m in maps]
+
+        def exists(cur: int, i: int, p1: int) -> bool:
+            if i == len(lists):
+                return cur - p1 <= w
+            return any(
+                exists(p, i + 1, p1)
+                for p in lists[i]
+                if cur < p <= p1 + w
+            )
+
+        cnt = sum(1 for p1 in lists[0] if exists(p1, 1, p1))
+        if cnt:
+            out[d] = cnt
+    return out
+
+
+def _ordered_triple(oix, w: int):
+    """Three distinct analyzed terms occurring in order within span ``w``
+    in some fixture doc, each a fixed point of re-analysis."""
+    from search_engine_spark.analysis.analyzer import analyze_query
+
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for t, by_doc in oix.positions.items():
+        if analyze_query(t) != [t]:
+            continue
+        for doc_id, ps in by_doc.items():
+            for p in ps:
+                per_doc.setdefault(doc_id, []).append((p, t))
+    for doc_id, items in per_doc.items():
+        items.sort()
+        for i in range(len(items) - 2):
+            (p1, t1), (p2, t2), (p3, t3) = items[i], items[i + 1], items[i + 2]
+            if len({t1, t2, t3}) == 3 and p3 - p1 <= w:
+                return [t1, t2, t3]
+    pytest.skip("fixture has no ordered triple")
+
+
+@pytest.mark.parametrize("w", [2, 5])
+def test_near_chain_vs_oracle(spark, index_store, oracle_index, w):
+    from search_engine_spark.query.proximity import near_chain_matches
+
+    terms = _ordered_triple(oracle_index, w)
+    expect = _chain_oracle(oracle_index, terms, w)
+    assert expect  # triple chosen to match at least once
+    got = {
+        r["doc_id"]: r["chain_count"]
+        for r in near_chain_matches(spark, index_store, terms, w).collect()
+    }
+    assert got == expect
+
+
+def test_near_chain_order_sensitive(spark, index_store, oracle_index):
+    """Reversing the chain changes (or empties) the match set whenever the
+    oracle says it should — ordered semantics, unlike 2-term NEAR."""
+    from search_engine_spark.query.proximity import near_chain_matches
+
+    terms = _ordered_triple(oracle_index, 5)
+    fwd_oracle = _chain_oracle(oracle_index, terms, 5)
+    rev_oracle = _chain_oracle(oracle_index, terms[::-1], 5)
+    rev = {
+        r["doc_id"]: r["chain_count"]
+        for r in near_chain_matches(spark, index_store, terms[::-1], 5).collect()
+    }
+    assert rev == rev_oracle
+    assert fwd_oracle  # forward matches exist by construction
+    # (rev may or may not match — the point is both agree with the oracle)
+
+
+def test_near_chain_pipeline_equals_direct(spark, index_store, oracle_index):
+    from search_engine_spark.query.pipeline import search
+    from search_engine_spark.query.proximity import near_chain_topk
+
+    terms = _ordered_triple(oracle_index, 4)
+    direct = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in near_chain_topk(spark, index_store, terms, 4, k=10).collect()
+    ]
+    q = f"{terms[0]} NEAR/4 {terms[1]} NEAR/4 {terms[2]}"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_store, q, k=10, engine="df", with_metadata=False,
+        ).collect()
+    ]
+    assert got == direct and got
+
+
+def test_near_chain_validation(spark, index_store):
+    from search_engine_spark.query.proximity import near_chain_matches
+
+    with pytest.raises(ValueError):
+        near_chain_matches(spark, index_store, ["a", "b", "a"], 3)
+    with pytest.raises(ValueError):
+        near_chain_matches(spark, index_store, ["a", "b", "c"], 0)
+
+
+def test_near_snippet_skips_operator_word(spark, tmp_path):
+    """ADVICE r4: the literal word 'near' in document text must not be
+    highlighted for a NEAR query (operator tokens are not operands)."""
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.query.pipeline import search
+
+    rows = [
+        ("c0", 0, "user", "alpha near beta words close alpha beta", "", None),
+        ("c1", 0, "user", "alpha filler beta and near again", "", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    store = build_index(spark, df, str(tmp_path / "nearix"), n_chunks=1)
+    res = search(spark, store, "alpha NEAR/3 beta", k=5, engine="df").collect()
+    assert res
+    for r in res:
+        assert "<strong>near</strong>" not in r["snippet"]
+        assert "<strong>alpha</strong>" in r["snippet"]

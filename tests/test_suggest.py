@@ -106,3 +106,32 @@ def test_suggest_plans_prune(spark, index_store):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "StartsWith" in plan
+
+
+def test_expansions_memoized_per_store_epoch(spark, index_store):
+    """VERDICT r4 next #5: a repeated wildcard/fuzzy expansion must not
+    re-run its dictionary scan. After the first call, term_stats access is
+    poisoned — a second identical call must succeed from the memo."""
+    from search_engine_spark.query.suggest import expand_fuzzy
+
+    d = _dictionary(spark, index_store)
+    top = max(d, key=lambda t: d[t])
+    prefix, word = top[:2], top[:-1] + "x"
+
+    first_p = expand_prefix(spark, index_store, prefix, limit=3)
+    first_f = expand_fuzzy(spark, index_store, word, limit=3)
+    assert first_p and first_f
+
+    real = type(index_store).term_stats
+
+    def boom(self, s):
+        raise AssertionError("dictionary scan re-ran on a memoized expansion")
+
+    type(index_store).term_stats = boom
+    try:
+        assert expand_prefix(spark, index_store, prefix, limit=3) == first_p
+        assert expand_fuzzy(spark, index_store, word, limit=3) == first_f
+    finally:
+        type(index_store).term_stats = real
+    # a different parameterization is a miss (and works)
+    assert expand_prefix(spark, index_store, prefix, limit=2) == first_p[:2]
