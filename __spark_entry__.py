@@ -3,14 +3,18 @@
 ``entry(spark)`` — flagship index-free BM25 top-k over sf0.001 documents.
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 training-data ops); each callable takes (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB twins. Oracle-checked queries use the no-stem
-analyzer variant (DuckDB cannot load its Snowball extension offline);
-Porter-stemmer parity is covered by ``python -m pytest -x -q`` against the
-pure-Python oracle. The FULL index engine (segments, block-max WAND, role
-boost) is hash-checked via a no-stem build over the documents table
-(``index_bm25_*``); the only remaining rows-only entries are the
-Porter-stemmed transcript searches (``transcripts_bm25_*``), whose
-rank-identity gate lives in tests/test_bm25_golden.py.
+``oracle_sql()`` — DuckDB twins. Most oracle-checked queries use the
+no-stem analyzer variant (DuckDB cannot load its Snowball extension
+offline). The FULL index engine (segments, block-max WAND, role boost) is
+hash-checked via a no-stem build over the documents table
+(``index_bm25_*``); the Porter-STEMMED transcript searches
+(``transcripts_bm25_*``) are hash-checked too since round 5 — the
+synthetic corpus has a closed vocabulary, so the stem mapping enters the
+oracle as inlined data (``_transcripts_bm25_sql``) while tokenization,
+statistics, BM25 math and ranking are recomputed independently in SQL.
+Porter-stemmer parity itself is fixture-gated in pytest
+(tests/test_analyzer.py, tests/test_bm25_golden.py). Every entry is
+hash-checked; none are rows-only.
 """
 
 from __future__ import annotations
@@ -478,14 +482,20 @@ def _spark_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure-Python oracle is covered by tests/test_bm25_golden.py)
 # ---------------------------------------------------------------------------
 
+def _TRANSCRIPT_IX_DIR() -> str:
+    """Shared by the Spark build and the oracle SQL string (the oracle
+    reads the corpus sidecar parquet from this dir)."""
+    return os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v6")
+
+
 def _transcript_store(spark: SparkSession):
     from search_engine_spark.corpus import generate_spark
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.index.storage import IndexStore
 
-    # _v5: positional segment streams — stale memoized indexes from
-    # older layouts must not be reused
-    ix_dir = os.environ.get("SPARK_GRAFT_TIX", "/tmp/se_entry_transcript_ix_v5")
+    # _v6: corpus sidecar parquet for the DuckDB oracle (stale memoized
+    # indexes from older layouts must not be reused)
+    ix_dir = _TRANSCRIPT_IX_DIR()
     store = IndexStore(ix_dir)
     if not store.corpus_stats_path.exists():
         # exclusive-create lock: queries() callables may run concurrently
@@ -498,6 +508,11 @@ def _transcript_store(spark: SparkSession):
             os.close(fd)
             try:
                 df = generate_spark(spark, 300, seed=42)
+                # corpus sidecar FIRST (the build's corpus_stats marker is
+                # the memo gate — the sidecar must exist whenever it does):
+                # the DuckDB oracle reads these rows back to recompute the
+                # stemmed BM25 independently (see _transcripts_bm25_sql)
+                df.write.mode("overwrite").parquet(ix_dir + "/corpus.parquet")
                 store = build_index(spark, df, ix_dir, n_chunks=2)
             finally:
                 lock.unlink(missing_ok=True)
@@ -897,6 +912,30 @@ def _near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+NEAR_CHAIN = ("table", "merge", "scan")  # ordered triple, co-occurs at sf0.01
+NEAR_CHAIN_W = 6
+
+
+def _near_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered n-term span chain through the FULL pipeline (VERDICT r4
+    next #6): parser detects ``table NEAR/6 merge NEAR/6 scan``, the
+    greedy-walk chain kernel counts first-term anchors opening a valid
+    ordered span (pn - p1 <= w), and the match set scores as a synthetic
+    BM25 term. Oracle: EXISTS over an ordered position triple per anchor
+    (exhaustive — independently validates the kernel's greedy-minimal
+    argument at contract scale too)."""
+    from search_engine_spark.query.pipeline import search
+
+    store = _docs_index(spark, sf_dir)
+    a, b, c = NEAR_CHAIN
+    res = search(
+        spark, store,
+        f"{a} NEAR/{NEAR_CHAIN_W} {b} NEAR/{NEAR_CHAIN_W} {c}",
+        k=K, engine="df", with_metadata=False,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query through the FULL pipeline: parser detects ``lin~``,
     ``suggest.expand_fuzzy`` picks the top-``FUZZY_LIMIT`` dictionary terms
@@ -913,17 +952,103 @@ def _fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+TRANSCRIPTS_QUERY = "spark index query"
+
+
 def _transcripts_search(engine: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.query.pipeline import search
 
         store = _transcript_store(spark)
-        return search(
-            spark, store, "spark index query", k=K, engine=engine,
+        res = search(
+            spark, store, TRANSCRIPTS_QUERY, k=K, engine=engine,
             with_metadata=False,
         )
+        return res.select("doc_id", F.round("score", 6).alias("score"))
 
     return run
+
+
+def _transcripts_bm25_sql() -> str:
+    """DuckDB twin of the PORTER-STEMMED transcript engine (upgrades
+    ``transcripts_bm25_*`` from rows-only to hash-checked — VERDICT r4
+    next #2). The driver's DuckDB cannot load its Snowball extension
+    offline and cannot register Python UDFs from an SQL string, so the
+    stemming enters the oracle as DATA, not code: the synthetic corpus has
+    a CLOSED token universe (corpus.build_vocab ∪ HEAD_TERMS ∪ FILLERS),
+    and this builder inlines, per analyzed query stem, the exact set of
+    raw tokens that stem to it — computed once over the ~2k-word universe
+    by the vendored ``analysis.porter`` (itself fixture-gated in
+    tests/test_analyzer.py). Everything else — tokenization, stopwording,
+    docID assignment, tf/df/doc_len/avgdl, the BM25 formula, ranking — is
+    recomputed independently in SQL from the corpus sidecar parquet that
+    ``_transcript_store`` writes."""
+    from search_engine_spark.analysis.analyzer import analyze_query, stem_token
+    from search_engine_spark.corpus import _FILLERS, HEAD_TERMS, VOCAB
+
+    universe = set(VOCAB) | set(HEAD_TERMS) | set(_FILLERS)
+    qstems = analyze_query(TRANSCRIPTS_QUERY, stem=True)
+    stem_of = {
+        w: stem_token(w)
+        for w in universe
+        if w not in STOPWORDS and len(w) > 1
+    }
+    cases = " ".join(
+        "WHEN w IN ({}) THEN '{}'".format(
+            ", ".join(
+                "'" + w + "'"
+                for w in sorted(x for x, s in stem_of.items() if s == q)
+            ),
+            q,
+        )
+        for q in qstems
+    )
+    qvals = ", ".join(f"('{q}', 1.0)" for q in sorted(set(qstems)))
+    corpus = _TRANSCRIPT_IX_DIR() + "/corpus.parquet/*.parquet"
+    return f"""
+WITH src AS (SELECT conv_id, turn_idx, text FROM read_parquet('{corpus}')),
+ids AS (
+  SELECT conv_id, turn_idx,
+         row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id
+  FROM src
+),
+raw AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z]+') AS arr
+  FROM src
+),
+tok AS (SELECT conv_id, turn_idx, unnest(arr) AS w FROM raw),
+kept AS (
+  SELECT conv_id, turn_idx, w FROM tok
+  WHERE length(w) > 1 AND w NOT IN ({_STOPLIST_SQL})
+),
+dl AS (
+  SELECT i.doc_id, count(k.w) AS doc_len
+  FROM ids i LEFT JOIN kept k USING (conv_id, turn_idx)
+  GROUP BY i.doc_id
+),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+stemmed AS (
+  SELECT conv_id, turn_idx, CASE {cases} END AS term FROM kept
+),
+tf AS (
+  SELECT i.doc_id, term, count(*) AS tf
+  FROM stemmed s JOIN ids i USING (conv_id, turn_idx)
+  WHERE term IS NOT NULL GROUP BY i.doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(term, qtf) AS (VALUES {qvals}),
+scored AS (
+  SELECT tf.doc_id,
+         qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN dfreq USING (term) JOIN qterms USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1119,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BM25 -> top-k)
     out["near_match"] = q(_near_match)
     out["near_search"] = q(_near_search)
+    # ordered n-term span chain (a NEAR/w b NEAR/w c) end to end
+    out["near_multi"] = q(_near_multi)
 
     # --- dictionary queries over the production index (term_stats scan:
     #     pushed StartsWith / length-band predicates over term-sorted row
@@ -1453,6 +1580,40 @@ s AS (
 SELECT doc_id, round(score, 6) AS score FROM s
 ORDER BY score DESC, doc_id LIMIT {K}
 """
+    # ordered chain: anchors of term1 opening an ordered triple within the
+    # span bound — exhaustive EXISTS, independent of the kernel's greedy walk
+    a1, a2, a3 = NEAR_CHAIN
+    _chain_m = f"""
+m AS (
+  SELECT a.doc_id, count(*) AS pc
+  FROM kept a
+  WHERE a.term = '{a1}' AND EXISTS (
+    SELECT 1 FROM kept b, kept c
+    WHERE b.doc_id = a.doc_id AND c.doc_id = a.doc_id
+      AND b.term = '{a2}' AND c.term = '{a3}'
+      AND b.pos > a.pos AND c.pos > b.pos
+      AND c.pos - a.pos <= {NEAR_CHAIN_W})
+  GROUP BY a.doc_id
+)"""
+    sql["near_multi"] = f"""
+WITH {_KEPT_CTE}, {_DL_CTE}, {_chain_m},
+s AS (
+  SELECT m.doc_id,
+         ln(1.0 + (stats.n_docs - df.dfv + 0.5) / (df.dfv + 0.5))
+         * (m.pc * 2.2 / (m.pc + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))
+         AS score
+  FROM m
+  CROSS JOIN (SELECT count(*) AS dfv FROM m) df
+  CROSS JOIN (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl) stats
+  JOIN dl ON dl.doc_id = m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+    # Porter-stemmed transcript engine — stemming inlined as data over the
+    # generator's closed vocabulary (see _transcripts_bm25_sql)
+    sql["transcripts_bm25_df"] = _transcripts_bm25_sql()
+    sql["transcripts_bm25_wand"] = _transcripts_bm25_sql()
     sql["phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     for op in ("AND", "OR", "NOT"):
         sql[f"logical_{op.lower()}"] = _logical_sql(op, K)
