@@ -179,34 +179,63 @@ def jaccard_pairs(
     )
 
 
+# per-executor token -> 64-bit md5 prefix memo for the SimHash kernel: a
+# Zipfian corpus re-hashes the same head tokens in every batch; the cache
+# turns those into dict hits. Bounded, wiped on overflow (a 10^8-term
+# vocabulary must not pin executor memory).
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+_SIMHASH_TOKEN_CACHE_MAX = 1_000_000
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over lowercase alpha tokens,
     vectorized numpy inside an Arrow-batched UDF. Not SQL-expressible
     (bit-level majority vote) -> covered by pytest properties instead of the
-    DuckDB oracle."""
+    DuckDB oracle.
+
+    Vectorization (VERDICT r4 next #7): md5 runs once per UNIQUE token per
+    batch (factorize + per-executor memo) instead of once per occurrence;
+    the sign accumulation is one ``np.add.reduceat`` over a (tokens x 64)
+    sign matrix — no per-token Python in the hot loop. Bit-identical to the
+    per-token formulation (tests/test_functions.py property tests)."""
     import hashlib
 
     def _sim(texts: pd.Series) -> pd.Series:
         import re
 
+        shifts = np.arange(64, dtype=np.uint64)
+        tok_lists = [
+            re.findall(r"[a-z]+", (t or "").lower()) for t in texts
+        ]
+        lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = [tok for l in tok_lists for tok in l]
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = re.findall(r"[a-z]+", (t or "").lower())
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += np.where(bits == 1, 1, -1)
-            sh = np.uint64(0)
-            for bpos in range(64):
-                if acc[bpos] > 0:
-                    sh |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sh.astype(np.int64))
+        if not flat:
+            return pd.Series(out)
+        codes, uniques = pd.factorize(pd.array(flat), use_na_sentinel=False)
+        if len(_SIMHASH_TOKEN_CACHE) > _SIMHASH_TOKEN_CACHE_MAX:
+            _SIMHASH_TOKEN_CACHE.clear()
+        hvals = np.empty(len(uniques), dtype=np.uint64)
+        for j, tok in enumerate(uniques):
+            h = _SIMHASH_TOKEN_CACHE.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                _SIMHASH_TOKEN_CACHE[tok] = h
+            hvals[j] = h
+        # (uniques x 64) sign matrix, gathered per occurrence, summed per doc
+        signs = (
+            ((hvals[:, None] >> shifts[None, :]) & np.uint64(1))
+            .astype(np.int8) * 2 - 1
+        ).astype(np.int32)
+        occ_signs = signs[codes]
+        nonempty = np.flatnonzero(lens)
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        acc = np.add.reduceat(occ_signs, starts, axis=0)
+        sh = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = sh.astype(np.int64)
         return pd.Series(out)
 
     sim_udf = pandas_udf(_sim, "long")
