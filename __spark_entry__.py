@@ -850,6 +850,8 @@ def _url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_Q = "s*"       # wildcard query: expands against the dictionary
 PREFIX_LIMIT = 4      # < number of s-terms in the corpus -> cap exercised
+WILD_Q = "s*a*"       # general wildcard: small/scan/spark/stream match
+WILD_LIMIT = 3        # < match count -> df-ranked cut exercised
 SPELL_WORD = "sor"    # dist 1 of 'sort', dist 2 of 'slow'/'row' -> mixed ranks
 FUZZY_WORD = "lin"    # dist 1 of 'line', dist 2 of 'join'/'big' -> mixed ranks
 FUZZY_LIMIT = 3       # all three expansions kept; ranking order still gates
@@ -866,6 +868,23 @@ def _prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search(
         spark, store, PREFIX_Q, k=K, engine="wand", with_metadata=False,
         prefix_limit=PREFIX_LIMIT,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-prefix) wildcard through the FULL pipeline: parser
+    detects ``s*a*``, ``suggest.expand_wildcard`` pushes the literal run
+    before the first star as a StartsWith (row-group skipping) and the
+    full pattern as a LIKE, keeps the top-``WILD_LIMIT`` by (df desc,
+    term), and WAND scores their OR — Lucene WildcardQuery semantics.
+    Oracle replays the expansion with SQL LIKE."""
+    from search_engine_spark.query.pipeline import search
+
+    store = _docs_index(spark, sf_dir)
+    res = search(
+        spark, store, WILD_Q, k=K, engine="wand", with_metadata=False,
+        prefix_limit=WILD_LIMIT,
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -1253,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # wildcard expansion through the FULL pipeline (parser -> expand ->
     # WAND), cap 4 < matching-term count so the df-ranked cut is exercised
     out["prefix_search"] = q(_prefix_search)
+    # general wildcard (infix stars) -> LIKE-expanded, df-ranked, WAND
+    out["wildcard_search"] = q(_wildcard_search)
     out["spell_suggest"] = q(_spell_suggest)
     # fuzzy expansion through the FULL pipeline (parser -> edit-distance
     # expand -> WAND): 'lin~' -> line(d1), join(d2), big(d2)
@@ -1998,6 +2019,30 @@ qsel AS (
   SELECT term, df FROM dfreq_all
   WHERE term LIKE '{PREFIX_Q[:-1]}%'
   ORDER BY df DESC, term LIMIT {PREFIX_LIMIT}
+),
+tf AS (
+  SELECT doc_id, kept.term, count(*) AS tf FROM kept
+  JOIN qsel USING (term) GROUP BY doc_id, kept.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - q.df + 0.5) / (q.df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN qsel q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
+    sql["wildcard_search"] = f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term),
+qsel AS (
+  SELECT term, df FROM dfreq_all
+  WHERE term LIKE '{WILD_Q.replace("*", "%")}'
+  ORDER BY df DESC, term LIMIT {WILD_LIMIT}
 ),
 tf AS (
   SELECT doc_id, kept.term, count(*) AS tf FROM kept

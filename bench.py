@@ -80,6 +80,9 @@ QUERY_SET = [
     # proximity class: segment-served NEAR/w pair counting (same pruned
     # scan + per-drange kernel shape as phrase, plus the window probes)
     ("near", "index NEAR/4 model", "df"),
+    # ordered n-term span chain: 3-way candidate intersection + greedy
+    # positional walk (one searchsorted per link) in the same kernel family
+    ("near_chain", "index NEAR/4 model NEAR/4 data", "df"),
     ("logical_and", '"spark index" AND "query model"', "df"),
     ("logical_or", '"spark index" OR "query model"', "df"),
     ("logical_not", '"spark index" NOT "query model"', "df"),

@@ -32,11 +32,17 @@ _NEAR_CHAIN_RE = re.compile(
     r"^\s*[A-Za-z]+(?:\s+NEAR/\d+\s+[A-Za-z]+){2,}\s*$"
 )
 
-# wildcard token in a free-text query: `mach*` — expanded against the term
-# dictionary at serve time (query/suggest.expand_prefix). An engine
-# extension beyond the reference (its QueryProcessor matches exact terms
-# only); only the trailing-star prefix form is supported.
-_WILDCARD_RE = re.compile(r"\b([A-Za-z]+)\*")
+# wildcard token in a free-text query — expanded against the term
+# dictionary at serve time. An engine extension beyond the reference (its
+# QueryProcessor matches exact terms only). Two tiers:
+# * `mach*` (pure trailing star) -> prefix expansion
+#   (query/suggest.expand_prefix), which also prefix-highlights snippets;
+# * general patterns `m*del`, `*ing`, `s*a*` -> wildcard expansion
+#   (query/suggest.expand_wildcard, Lucene WildcardQuery semantics).
+_WILDCARD_RE = re.compile(
+    r"(?<![A-Za-z*])([A-Za-z]*\*[A-Za-z*]*)(?![A-Za-z*])"
+)
+_PURE_PREFIX_RE = re.compile(r"^[A-Za-z]+\*$")
 
 # fuzzy token in a free-text query: `lin~` — expanded against the term
 # dictionary at serve time (query/suggest.expand_fuzzy, Lucene FuzzyQuery
@@ -53,7 +59,8 @@ class ParsedQuery:
     op: str | None = None               # logical
     left: "ParsedQuery | None" = None   # logical
     right: "ParsedQuery | None" = None  # logical
-    prefixes: list[str] | None = None   # term: wildcard prefixes to expand
+    prefixes: list[str] | None = None   # term: trailing-star prefixes
+    wildcards: list[str] | None = None  # term: general `*` patterns
     fuzzies: list[str] | None = None    # term: fuzzy words to expand
     window: int | None = None           # near: max position distance
 
@@ -112,12 +119,15 @@ def parse_query(query: str, stem: bool = True) -> ParsedQuery:
         terms = analyze_query(inner, stem=stem)
         kind = "phrase" if len(terms) >= 2 else "term"
         return ParsedQuery(kind, q, terms=terms)
-    prefixes = [m.lower() for m in _WILDCARD_RE.findall(q)]
+    stars = [m.lower() for m in _WILDCARD_RE.findall(q) if m.strip("*")]
+    prefixes = [p[:-1] for p in stars if _PURE_PREFIX_RE.match(p)]
+    wildcards = [p for p in stars if not _PURE_PREFIX_RE.match(p)]
     rest = _WILDCARD_RE.sub(" ", q)
     fuzzies = [m.lower() for m in _FUZZY_RE.findall(rest)]
     rest = _FUZZY_RE.sub(" ", rest)
     return ParsedQuery(
         "term", q, terms=analyze_query(rest, stem=stem),
         prefixes=prefixes or None,
+        wildcards=wildcards or None,
         fuzzies=fuzzies or None,
     )

@@ -19,7 +19,7 @@ from ..analysis.analyzer import tokenize
 from ..index.storage import IndexStore
 from .bm25 import bm25_topk
 from .logical import combine
-from .parser import ParsedQuery, parse_query
+from .parser import _WILDCARD_RE, ParsedQuery, parse_query
 from .phrase import phrase_topk
 from .snippets import add_snippets
 from .wand import bm25_topk_wand
@@ -64,6 +64,11 @@ def _expand_terms(
 
         for p in pq.prefixes:
             terms.extend(expand_prefix(spark, store, p, limit=prefix_limit))
+    if pq.wildcards:
+        from .suggest import expand_wildcard
+
+        for p in pq.wildcards:
+            terms.extend(expand_wildcard(spark, store, p, limit=prefix_limit))
     if pq.fuzzies:
         from .suggest import expand_fuzzy
 
@@ -154,7 +159,7 @@ def search(
         # expand once: scoring and snippet highlighting share the terms
         expanded = (
             _expand_terms(spark, store, pq, prefix_limit)
-            if (pq.prefixes or pq.fuzzies)
+            if (pq.prefixes or pq.wildcards or pq.fuzzies)
             else None
         )
         topk = _score_side(
@@ -212,6 +217,11 @@ def search(
         raw_src = _NEAR_OP_RE.sub(" ", pq.raw)
     else:
         raw_src = pq.raw
+        if pq.prefixes or pq.wildcards:
+            # star patterns must not shed letter-run fragments into the
+            # highlight set (`m*del` would otherwise highlight bare 'del');
+            # their matches highlight via the expansion terms / prefixes
+            raw_src = _WILDCARD_RE.sub(" ", raw_src)
     raw_tokens = tokenize(raw_src.replace('"', " "))
     # dictionary expansions highlight too: fuzzy/wildcard expansion terms
     # as whole words, wildcard prefixes additionally as word-prefix matches

@@ -120,6 +120,45 @@ def spell_suggest(
     )
 
 
+def expand_wildcard(
+    spark: SparkSession, store: IndexStore, pattern: str,
+    limit: int = PREFIX_EXPAND_LIMIT,
+) -> list[str]:
+    """Top-``limit`` dictionary terms matching a general wildcard
+    ``pattern`` (``*`` = any run of letters: ``mod*``, ``m*del``, ``*ing``,
+    ``s*a*``), by (df desc, term asc) — Lucene WildcardQuery semantics.
+
+    Plan: the literal run before the first star is pushed as a StartsWith
+    over the term-sorted dictionary (row-group min/max skipping), the full
+    pattern as a LIKE on the survivors; a leading-star pattern degrades to
+    a full dictionary scan — the standard engine behavior (Lucene warns on
+    leading wildcards for the same reason). Memoized per store epoch."""
+    p = (pattern or "").lower()
+    if not p.strip("*"):
+        return []
+    if "*" not in p:
+        p = p + "*"
+    cache = _expansion_cache(store)
+    ckey = ("wild", p, int(limit))
+    hit = cache.get(ckey)
+    if hit is not None:
+        return list(hit)
+    prefix = p.split("*", 1)[0]
+    cand = store.term_stats(spark)
+    if prefix:
+        cand = cand.filter(F.col("term").startswith(prefix))
+    rows = (
+        cand.filter(F.col("term").like(p.replace("*", "%")))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(limit))
+        .collect()
+    )
+    out = [r["term"] for r in rows]
+    cache[ckey] = out
+    return list(out)
+
+
 FUZZY_EXPAND_LIMIT = 8
 
 

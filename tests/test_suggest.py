@@ -135,3 +135,60 @@ def test_expansions_memoized_per_store_epoch(spark, index_store):
         type(index_store).term_stats = real
     # a different parameterization is a miss (and works)
     assert expand_prefix(spark, index_store, prefix, limit=2) == first_p[:2]
+
+
+def test_expand_wildcard_matches_dictionary(spark, index_store):
+    from search_engine_spark.query.suggest import expand_wildcard
+
+    d = _dictionary(spark, index_store)
+    top = max(d, key=lambda t: d[t])
+    # infix pattern: first letter + * + last letter
+    pat = f"{top[0]}*{top[-1]}"
+    import re as _re
+
+    rx = _re.compile("^" + pat.replace("*", "[a-z]*") + "$")
+    expect = sorted(
+        (t for t in d if rx.match(t)), key=lambda t: (-d[t], t)
+    )[:5]
+    assert expand_wildcard(spark, index_store, pat, limit=5) == expect
+    # leading star (full dictionary scan path)
+    pat2 = "*" + top[-2:]
+    rx2 = _re.compile("^[a-z]*" + top[-2:] + "$")
+    expect2 = sorted(
+        (t for t in d if rx2.match(t)), key=lambda t: (-d[t], t)
+    )[:5]
+    assert expand_wildcard(spark, index_store, pat2, limit=5) == expect2
+    # pure-prefix pattern equals expand_prefix
+    assert (
+        expand_wildcard(spark, index_store, top[:2] + "*", limit=4)
+        == expand_prefix(spark, index_store, top[:2], limit=4)
+    )
+    # star-only and empty patterns expand to nothing
+    assert expand_wildcard(spark, index_store, "*", limit=4) == []
+    assert expand_wildcard(spark, index_store, "", limit=4) == []
+
+
+def test_wildcard_pipeline_equals_manual_expansion(spark, index_store):
+    from search_engine_spark.query.bm25 import bm25_topk
+    from search_engine_spark.query.pipeline import search
+    from search_engine_spark.query.suggest import expand_wildcard
+
+    d = _dictionary(spark, index_store)
+    top = max(d, key=lambda t: d[t])
+    pat = f"{top[0]}*{top[-1]}"
+    terms = expand_wildcard(spark, index_store, pat, limit=3)
+    assert terms
+    manual = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(spark, index_store, terms, k=10)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_store, pat, k=10, engine="df",
+            with_metadata=False, prefix_limit=3,
+        ).collect()
+    ]
+    assert got == manual
