@@ -898,6 +898,42 @@ def _spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spell_suggest(spark, store, SPELL_WORD, max_dist=2, k=5)
 
 
+GRAM_WORD = "sorter"  # dist 2 of BOTH 'sort' and 'order' -> ranking exercised
+
+
+def _gram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized persisted q-gram dictionary index per sf_dir — the
+    vocabulary-scale fuzzy serve path (query/fuzzy_index.py): candidates
+    come from <= len(word)-q+1 pruned gram partition dirs + the
+    count-filter bound instead of a full length-band levenshtein scan."""
+    import hashlib
+
+    from search_engine_spark.query.fuzzy_index import build_gram_index
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.environ.get("SPARK_GRAFT_GIX", "/tmp/se_entry_gram_ix") + f"_v1_{h}"
+    done = Path(d) / "_ENTRY_DONE"
+
+    def build():
+        build_gram_index(spark, _docs_index(spark, sf_dir), d)
+        done.touch()
+
+    _locked_build(done, Path(d + ".lock"), build)
+    return d
+
+
+def _spell_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served did-you-mean: gram-partition-pruned candidates +
+    multiset count filter + exact levenshtein on the sliver — row-identical
+    to the scan path (tests/test_fuzzy_index.py); the oracle recomputes the
+    suggestion from the SQL-side dictionary directly."""
+    from search_engine_spark.query.fuzzy_index import spell_suggest_indexed
+
+    return spell_suggest_indexed(
+        spark, _gram_index(spark, sf_dir), GRAM_WORD, max_dist=2, k=5
+    )
+
+
 NEAR_A, NEAR_B = "table", "filter"  # analyzed corpus terms, both kept
 NEAR_W = 3                          # exercises the clamp at pos < w too
 
@@ -1171,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # general wildcard (infix stars) -> LIKE-expanded, df-ranked, WAND
     out["wildcard_search"] = q(_wildcard_search)
     out["spell_suggest"] = q(_spell_suggest)
+    # vocabulary-scale fuzzy serve: persisted q-gram dictionary index,
+    # partition-pruned probe + multiset count filter
+    out["spell_suggest_indexed"] = q(_spell_suggest_indexed)
     # fuzzy expansion through the FULL pipeline (parser -> edit-distance
     # expand -> WAND): 'lin~' -> line(d1), join(d2), big(d2)
     out["fuzzy_search"] = q(_fuzzy_search)
@@ -2110,6 +2149,16 @@ SELECT term, CAST(df AS BIGINT) AS df,
 FROM dfreq_all
 WHERE abs(length(term) - {len(SPELL_WORD)}) <= 2
   AND levenshtein(term, '{SPELL_WORD}') <= 2
+ORDER BY dist, df DESC, term LIMIT 5
+"""
+    sql["spell_suggest_indexed"] = f"""
+WITH {_KEPT_CTE},
+dfreq_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(levenshtein(term, '{GRAM_WORD}') AS BIGINT) AS dist
+FROM dfreq_all
+WHERE abs(length(term) - {len(GRAM_WORD)}) <= 2
+  AND levenshtein(term, '{GRAM_WORD}') <= 2
 ORDER BY dist, df DESC, term LIMIT 5
 """
 
