@@ -95,3 +95,17 @@ def test_wand_segment_scan_prunes_by_term(spark, index_store):
     assert "tbucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_near_chain_scan_prunes_by_term(spark, index_store, oracle_index):
+    """The ordered-chain kernel's input scan must carry the same tbucket
+    partition pruning + pushed term filter as every other segment serve."""
+    from search_engine_spark.query.proximity import near_chain_matches
+
+    terms = sorted(oracle_index.positions)[:3]
+    df = near_chain_matches(spark, index_store, terms, 5)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "tbucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
