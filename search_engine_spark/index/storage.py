@@ -97,6 +97,14 @@ class IndexStore:
     def manifest_dir(self) -> Path:
         return self.dir / "manifest"
 
+    @property
+    def gram_index_path(self) -> str:
+        """Conventional in-store location of the persisted q-gram
+        dictionary index (query/fuzzy_index.py). The serve path routes
+        through it automatically when its epoch stamp matches the store's
+        current stats epoch."""
+        return str(self.dir / "gram_index")
+
     # -- stage completion markers ---------------------------------------
     def stage_done(self, rel: str) -> bool:
         return (self.dir / rel / "_SUCCESS").exists()

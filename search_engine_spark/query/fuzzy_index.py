@@ -67,17 +67,60 @@ def _meta_path(index_dir: str) -> Path:
     return Path(index_dir) / "meta.json"
 
 
+def _store_epoch(store: IndexStore) -> list:
+    """Stats epoch the index was built against — same key the expansion
+    memo and WAND idf cache use. Any dictionary rewrite (append recomputes
+    df, compaction recounts) changes it; logical deletes do not (they
+    leave term_stats untouched until compaction, by design)."""
+    try:
+        c = store.corpus_stats()
+    except FileNotFoundError:
+        return [None, None, None]
+    return [
+        c.get("built_unix"),
+        c.get("last_append_unix"),
+        c.get("compacted_unix"),
+    ]
+
+
+def gram_index_for(
+    store: IndexStore, max_dist: int = MAX_DIST
+) -> str | None:
+    """The store's in-store gram index dir IFF one exists, was built for a
+    distance bound >= ``max_dist``, and its epoch stamp matches the
+    store's CURRENT stats epoch (a stale index after append/compaction is
+    never served — the caller falls back to the dictionary scan)."""
+    d = store.gram_index_path
+    mp = _meta_path(d)
+    if not mp.exists():
+        return None
+    try:
+        meta = json.loads(mp.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    if meta.get("kind") != "qgram" or int(meta.get("max_dist", 0)) < max_dist:
+        return None
+    if meta.get("store_epoch") != _store_epoch(store):
+        return None
+    return d
+
+
 def build_gram_index(
     spark: SparkSession,
     store: IndexStore,
-    index_dir: str,
+    index_dir: str | None = None,
     q: int = GRAM_Q,
     max_dist: int = MAX_DIST,
 ) -> None:
     """One dictionary pass -> (term, len, df) rows partitioned by gram,
     plus the short-term sidecar. The dictionary is ~10^-6 of the postings
     (SURVEY), so even exploded by <= len-q+1 grams per term the index is
-    tiny next to the segments."""
+    tiny next to the segments. With ``index_dir=None`` the index lands at
+    the store's conventional ``gram_index/`` location and the serve path
+    (``suggest.spell_suggest`` / ``expand_fuzzy``) picks it up
+    automatically while its epoch stamp stays current."""
+    if index_dir is None:
+        index_dir = store.gram_index_path
     terms = store.term_stats(spark).select(
         "term", F.length("term").alias("len"), F.col("df").cast("long").alias("df")
     )
@@ -112,7 +155,14 @@ def build_gram_index(
     )
     _meta_path(index_dir).parent.mkdir(parents=True, exist_ok=True)
     _meta_path(index_dir).write_text(
-        json.dumps({"kind": "qgram", "q": q, "max_dist": max_dist})
+        json.dumps(
+            {
+                "kind": "qgram",
+                "q": q,
+                "max_dist": max_dist,
+                "store_epoch": _store_epoch(store),
+            }
+        )
     )
 
 

@@ -102,8 +102,17 @@ def spell_suggest(
 ) -> DataFrame:
     """Did-you-mean candidates for ``word``: dictionary terms within
     ``max_dist`` edits, ranked by (dist asc, df desc, term asc), top ``k``.
-    Returns (term, df, dist)."""
+    Returns (term, df, dist). Routes through the store's persisted q-gram
+    index (fuzzy_index.py) when a current-epoch one exists — gram
+    partition pruning + count filter instead of a full length-band
+    dictionary scan; row-identical by construction (the index is an
+    access path, not a semantics change; tests assert equality)."""
+    from .fuzzy_index import gram_index_for, spell_suggest_indexed
+
     w = (word or "").lower()
+    ix = gram_index_for(store, max_dist=max_dist)
+    if ix is not None:
+        return spell_suggest_indexed(spark, ix, w, max_dist=max_dist, k=k)
     L = len(w)
     cand = store.term_stats(spark).filter(
         (F.length("term") >= L - max_dist) & (F.length("term") <= L + max_dist)

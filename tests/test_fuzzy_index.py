@@ -80,3 +80,80 @@ def test_gram_probe_prunes_partitions(spark, index_store, gram_index):
 def test_index_rejects_wider_dist_than_built(spark, gram_index):
     with pytest.raises(ValueError):
         spell_suggest_indexed(spark, gram_index, "whatever", max_dist=3)
+
+
+def test_store_serve_path_routes_through_gram_index(spark, index_store):
+    """With a current-epoch gram index at the store's conventional
+    location, suggest.spell_suggest must serve from it — proven by
+    poisoning the term_stats dir: the scan path would fail, the indexed
+    path never touches it."""
+    import shutil
+    from pathlib import Path
+
+    from search_engine_spark.query.fuzzy_index import gram_index_for
+
+    terms = [r["term"] for r in index_store.term_stats(spark).select("term").collect()]
+    w = max(terms, key=len)[:-1] + "x"
+    expected = _rows(spell_suggest(spark, index_store, w, max_dist=2, k=5))
+
+    gram_dir = Path(index_store.gram_index_path)
+    stats_dir = Path(index_store.term_stats_path)
+    poisoned = stats_dir.with_name("terms_poisoned")
+    try:
+        build_gram_index(spark, index_store)  # default dir = in-store
+        assert gram_index_for(index_store) == str(gram_dir)
+        stats_dir.rename(poisoned)
+        got = _rows(spell_suggest(spark, index_store, w, max_dist=2, k=5))
+        assert got == expected
+    finally:
+        if poisoned.exists():
+            poisoned.rename(stats_dir)
+        shutil.rmtree(gram_dir, ignore_errors=True)
+
+
+def test_stale_gram_index_falls_back_to_scan(spark, index_store):
+    """An epoch bump (append/compaction rewrites the dictionary) must
+    invalidate the in-store gram index: gram_index_for returns None and
+    spell_suggest serves from the live term_stats scan."""
+    import shutil
+    from pathlib import Path
+
+    from search_engine_spark.query.fuzzy_index import gram_index_for
+
+    gram_dir = Path(index_store.gram_index_path)
+    stats0 = index_store.corpus_stats()
+    try:
+        build_gram_index(spark, index_store)
+        assert gram_index_for(index_store) is not None
+        bumped = dict(stats0)
+        bumped["last_append_unix"] = (stats0.get("last_append_unix") or 0) + 1
+        index_store.write_corpus_stats(bumped)
+        assert gram_index_for(index_store) is None
+        terms = [
+            r["term"] for r in index_store.term_stats(spark).select("term").collect()
+        ]
+        w = max(terms, key=len)[:-1] + "x"
+        assert len(_rows(spell_suggest(spark, index_store, w, max_dist=2, k=5))) >= 0
+    finally:
+        index_store.write_corpus_stats(stats0)
+        shutil.rmtree(gram_dir, ignore_errors=True)
+
+
+def test_narrower_dist_serves_from_index_wider_falls_back(index_store, spark):
+    """gram_index_for honors the built distance bound: requests within it
+    route to the index, wider ones fall back (never ValueError from the
+    serve path)."""
+    import shutil
+    from pathlib import Path
+
+    from search_engine_spark.query.fuzzy_index import gram_index_for
+
+    gram_dir = Path(index_store.gram_index_path)
+    try:
+        build_gram_index(spark, index_store, max_dist=1)
+        assert gram_index_for(index_store, max_dist=1) is not None
+        assert gram_index_for(index_store, max_dist=2) is None
+        # wide request must not raise — it scans
+        spell_suggest(spark, index_store, "model", max_dist=2, k=3).collect()
+    finally:
+        shutil.rmtree(gram_dir, ignore_errors=True)
