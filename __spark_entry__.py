@@ -47,6 +47,16 @@ _Q_TERMS = analyze(BM25_QUERY, stem=False)
 _PHRASE_TERMS = analyze(PHRASE, stem=False)
 _PHRASE_B_TERMS = analyze(PHRASE_B, stem=False)
 
+# batch-search workload: mixed shapes — the flagship query, an overlap,
+# a duplicate-term query (qtf=2), a dictionary miss, a stopword-only row
+_BATCH_WORKLOAD = [
+    (1, BM25_QUERY),
+    (2, "scan table query"),
+    (3, "filter filter index"),
+    (4, "zzz-nothing-zzz"),
+    (5, "the of and"),
+]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -638,6 +648,65 @@ def _index_bm25(engine: str, boost: bool = False):
     return run
 
 
+def _batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-table search (query/batch.py): one partition-pruned posting
+    scan amortized over all five workload queries, per-(query,doc) sorted
+    score fold, per-query top-k window. Per-query rows are engine-identical
+    to bm25_topk (tests/test_batch.py)."""
+    from search_engine_spark.query.batch import batch_bm25_topk
+
+    store = _docs_index(spark, sf_dir)
+    wl = spark.createDataFrame(_BATCH_WORKLOAD, "query_id long, query string")
+    res = batch_bm25_topk(spark, store, wl, k=K, stem=False)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _batch_sql(workload: list[tuple[int, str]], k: int) -> str:
+    from collections import Counter
+
+    qtf_rows = []
+    all_terms: set[str] = set()
+    for qid, qtext in workload:
+        for t, n in sorted(Counter(analyze(qtext, stem=False)).items()):
+            qtf_rows.append(f"({qid}, '{t}', {float(n)})")
+            all_terms.add(t)
+    if not qtf_rows:
+        return "SELECT 1 WHERE false"
+    in_list = ", ".join(f"'{t}'" for t in sorted(all_terms))
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(query_id, term, qtf) AS (VALUES {", ".join(qtf_rows)}),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN dfreq USING (term) JOIN qterms USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id, sum(s) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION phrase path over the no-stem docs index: compact-postings
     candidate intersection + the doc-partitioned vectorized adjacency kernel
@@ -1197,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["near_search"] = q(_near_search)
     # ordered n-term span chain (a NEAR/w b NEAR/w c) end to end
     out["near_multi"] = q(_near_multi)
+    # workload-table batch search: 5 queries, ONE pruned posting scan
+    out["batch_search"] = q(_batch_search)
 
     # --- dictionary queries over the production index (term_stats scan:
     #     pushed StartsWith / length-band predicates over term-sorted row
@@ -1627,6 +1698,8 @@ FROM tf GROUP BY term
         _Q_TERMS, K, where=_COMPACT_PRED_SQL
     )
     sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)
+    # batch workload: per-query BM25 grouped + ranked in one statement
+    sql["batch_search"] = _batch_sql(_BATCH_WORKLOAD, K)
     for op in ("AND", "OR", "NOT"):
         sql[f"index_logical_{op.lower()}"] = _logical_sql(op, K)
     # NEAR/w: pairs of positions within |Δpos| <= w, per doc
