@@ -790,6 +790,58 @@ def _index_phrase_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merged_store(spark: SparkSession, sf_dir: str):
+    """Memoized sharded-build merge store: TWO INDEPENDENT no-stem builds
+    over the corpus halves, folded with ``merge_store`` (docID shift +
+    verbatim positional bytes + one re-encoded chunk + stats recompute).
+    The result is query-equivalent to a full build, so full-corpus oracles
+    apply (ids: shard builds assign 0..n/2-1 each in lpad(conv_id) order;
+    the merge shifts the second shard by base = n/2 — exactly the table
+    ids)."""
+    import hashlib
+
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.index.merge import merge_store
+    from search_engine_spark.index.storage import IndexStore
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.environ.get("SPARK_GRAFT_MIX", "/tmp/se_entry_docs_ixmrg") + f"_v1_{h}"
+    done = Path(d) / "_ENTRY_DONE"
+
+    def build():
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        half = _docs_as_transcripts(docs.filter(F.col("doc_id") < n // 2))
+        rest = _docs_as_transcripts(docs.filter(F.col("doc_id") >= n // 2))
+        dst = build_index(spark, half, d, n_chunks=2, stem=False)
+        src = build_index(spark, rest, d + "_src", n_chunks=2, stem=False)
+        merge_store(spark, dst, src)
+        done.touch()
+
+    _locked_build(done, Path(d + ".lock"), build)
+    return IndexStore(d)
+
+
+def _index_bm25_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-merge engine hash-checked end-to-end through WAND (see
+    ``_merged_store``)."""
+    from search_engine_spark.query.wand import bm25_topk_wand
+
+    res = bm25_topk_wand(spark, _merged_store(spark, sf_dir), _Q_TERMS, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _index_phrase_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional parity across a merge: the re-encoded chunk's position
+    streams must serve phrase counts identical to a single build."""
+    from search_engine_spark.query.phrase import phrase_matches
+
+    store = _merged_store(spark, sf_dir)
+    return phrase_matches(spark, store, _PHRASE_TERMS).select(
+        "doc_id", "phrase_count"
+    )
+
+
 _COMPACT_PRED_SPARK = "doc_id % 7 = 3"  # the VICTIMS (SQL-string: a Column
 # literal here would need an active SparkContext at import time)
 _COMPACT_PRED_SQL = "doc_id % 7 <> 3"  # the SURVIVORS
@@ -1256,6 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the phrase twin checks the POSITIONAL family interleaves correctly
     out["index_bm25_appended"] = q(_index_bm25_appended)
     out["index_phrase_appended"] = q(_index_phrase_appended)
+    # sharded-build merge (addIndexes analog): two independent half-builds
+    # folded; BM25 + positional phrase equivalence to a single build
+    out["index_bm25_merged"] = q(_index_bm25_merged)
+    out["index_phrase_merged"] = q(_index_phrase_merged)
     # delete -> compact -> query (tombstones, physical rewrite, exact
     # stat recount) hash-checked end-to-end
     out["index_bm25_compacted"] = q(_index_bm25_compacted)
@@ -1693,6 +1749,9 @@ FROM tf GROUP BY term
     # a half-build + append_batch equals a full build -> same oracle
     sql["index_bm25_appended"] = _bm25_sql(_Q_TERMS, K)
     sql["index_phrase_appended"] = _phrase_sql(_PHRASE_TERMS)
+    # two shard builds + merge_store equals a full build -> same oracle
+    sql["index_bm25_merged"] = _bm25_sql(_Q_TERMS, K)
+    sql["index_phrase_merged"] = _phrase_sql(_PHRASE_TERMS)
     # compaction restores exact stats -> plain build over the survivors
     sql["index_bm25_compacted"] = _bm25_sql(
         _Q_TERMS, K, where=_COMPACT_PRED_SQL
