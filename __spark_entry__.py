@@ -49,6 +49,9 @@ _PHRASE_B_TERMS = analyze(PHRASE_B, stem=False)
 
 # batch-search workload: mixed shapes — the flagship query, an overlap,
 # a duplicate-term query (qtf=2), a dictionary miss, a stopword-only row
+_PACK_BUDGET = 512   # tokens per training sequence
+_PACK_SHARDS = 4     # shard = doc_id % shards; sequences never cross shards
+
 _BATCH_WORKLOAD = [
     (1, BM25_QUERY),
     (2, "scan table query"),
@@ -1244,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_engine_spark.functions import (
         dedup,
         multimodal,
+        packing,
         similarity,
         textstats,
         vector_index,
@@ -1324,6 +1328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["near_multi"] = q(_near_multi)
     # workload-table batch search: 5 queries, ONE pruned posting scan
     out["batch_search"] = q(_batch_search)
+    # token-budget sequence packing (training-sequence construction):
+    # greedy shard-local recurrence, oracled by a recursive CTE
+    out["pack_sequences"] = q(
+        lambda s, d: packing.pack_sequences(
+            _docs(s, d), _PACK_BUDGET, n_shards=_PACK_SHARDS
+        )
+    )
 
     # --- dictionary queries over the production index (term_stats scan:
     #     pushed StartsWith / length-band predicates over term-sorted row
@@ -1759,6 +1770,32 @@ FROM tf GROUP BY term
     sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     # batch workload: per-query BM25 grouped + ranked in one statement
     sql["batch_search"] = _batch_sql(_BATCH_WORKLOAD, K)
+    # greedy packing is a sequential recurrence (running total with reset)
+    # -> replayed exactly as a recursive CTE stepping one doc per shard per
+    # iteration; the OR run = 0 arm mirrors the kernel (a zero-token prefix
+    # never forces a new sequence)
+    sql["pack_sequences"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_tokens,
+         (doc_id % {_PACK_SHARDS})::INT AS shard,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS ord
+  FROM documents
+),
+pack AS (
+  SELECT shard, ord, doc_id, n_tokens, 0::BIGINT AS seq_idx, n_tokens AS run
+  FROM base WHERE ord = 1
+  UNION ALL
+  SELECT b.shard, b.ord, b.doc_id, b.n_tokens,
+         CASE WHEN p.run + b.n_tokens <= {_PACK_BUDGET} OR p.run = 0
+              THEN p.seq_idx ELSE p.seq_idx + 1 END,
+         CASE WHEN p.run + b.n_tokens <= {_PACK_BUDGET} OR p.run = 0
+              THEN p.run + b.n_tokens ELSE b.n_tokens END
+  FROM pack p JOIN base b ON b.shard = p.shard AND b.ord = p.ord + 1
+)
+SELECT doc_id, shard, seq_idx, n_tokens FROM pack
+"""
     for op in ("AND", "OR", "NOT"):
         sql[f"index_logical_{op.lower()}"] = _logical_sql(op, K)
     # NEAR/w: pairs of positions within |Δpos| <= w, per doc
