@@ -710,6 +710,174 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+MLT_DOC = 7      # source doc for the more-like-this contract row
+MLT_MAX_TERMS = 8
+
+
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-parity MLT over the no-stem docs index: point-fetch the
+    source doc's text, rank its terms by tf x stored bm25_idf, run the
+    production WAND engine on the top terms excluding the source
+    (query/mlt.py). The oracle recomputes term selection AND retrieval
+    independently in SQL."""
+    from search_engine_spark.query.mlt import more_like_this
+
+    store = _docs_index(spark, sf_dir)
+    res = more_like_this(
+        spark, store, MLT_DOC, k=K, max_terms=MLT_MAX_TERMS, engine="wand"
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _mlt_sql(src: int, max_terms: int, k: int) -> str:
+    """DuckDB twin of mlt_terms + more_like_this: same tf x bm25_idf term
+    ranking (score desc, term asc), qtf=1 retrieval, source excluded."""
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+srctf AS (
+  SELECT term, count(*) AS tf FROM kept WHERE doc_id = {src} GROUP BY term
+),
+srcdf AS (
+  SELECT kept.term, count(DISTINCT kept.doc_id) AS df
+  FROM kept JOIN srctf USING (term) GROUP BY kept.term
+),
+sel AS (
+  SELECT srctf.term
+  FROM srctf JOIN srcdf USING (term) CROSS JOIN stats
+  ORDER BY srctf.tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) DESC,
+           srctf.term ASC
+  LIMIT {max_terms}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE doc_id <> {src}
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (query/facets.py): the flagship query's FULL live
+    match set grouped by the documents table's ``source`` dimension —
+    counts + max/sum score per facet value, nothing collected."""
+    from search_engine_spark.query.facets import search_facets
+
+    store = _docs_index(spark, sf_dir)
+    dims = _docs(spark, sf_dir).select("doc_id", "source")
+    res = search_facets(spark, store, _Q_TERMS, dims, ["source"])
+    return res.select(
+        "source",
+        "n_docs",
+        F.round("max_score", 6).alias("max_score"),
+        F.round("sum_score", 6).alias("sum_score"),
+    )
+
+
+def _facets_sql(terms: list[str]) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_corpus, avg(doc_len) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(term, qtf) AS (VALUES {_values_terms(terms)}),
+per_doc AS (
+  SELECT tf.doc_id,
+         sum(qtf * ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))))
+         AS score
+  FROM tf JOIN dfreq USING (term) JOIN qterms USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       round(max(score), 6) AS max_score, round(sum(score), 6) AS sum_score
+FROM per_doc JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def _total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalHitCountCollector analog: live match count for the flagship
+    query — a scalar aggregate over the pruned posting scan."""
+    from search_engine_spark.query.facets import total_hits
+
+    store = _docs_index(spark, sf_dir)
+    return total_hits(spark, store, _Q_TERMS)
+
+
+def _total_hits_sql(terms: list[str]) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {_KEPT_CTE}
+SELECT count(DISTINCT doc_id) AS n_hits FROM kept WHERE term IN ({in_list})
+"""
+
+
+def _explain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher.explain analog (query/explain.py): per-(top-k doc,
+    present term) score factors — tf, df, idf, contribution — from ONE
+    extra doc_id-IN-pushed probe of the already-pruned posting scan. The
+    oracle recomputes every factor from scratch."""
+    from search_engine_spark.query.explain import explain_topk
+
+    store = _docs_index(spark, sf_dir)
+    res = explain_topk(spark, store, _Q_TERMS, k=K, engine="wand")
+    return res.select(
+        "rank", "doc_id", F.round("score", 6).alias("score"), "term", "qtf",
+        "tf", "doc_len", "df", F.round("idf", 6).alias("idf"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
+def _explain_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_corpus, avg(doc_len) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(term, qtf) AS (VALUES {_values_terms(terms)}),
+factors AS (
+  SELECT tf.doc_id, tf.term, qtf, tf, doc_len, df,
+         ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) AS idf,
+         qtf * ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS contribution
+  FROM tf JOIN dfreq USING (term) JOIN qterms USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (SELECT doc_id, sum(contribution) AS score FROM factors GROUP BY doc_id),
+topk AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM agg ORDER BY score DESC, doc_id LIMIT {k}
+)
+SELECT t.rank, f.doc_id, round(t.score, 6) AS score, f.term, f.qtf, f.tf,
+       f.doc_len, f.df, round(f.idf, 6) AS idf,
+       round(f.contribution, 6) AS contribution
+FROM topk t JOIN factors f USING (doc_id)
+"""
+
+
 def _index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION phrase path over the no-stem docs index: compact-postings
     candidate intersection + the doc-partitioned vectorized adjacency kernel
@@ -1328,6 +1496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["near_multi"] = q(_near_multi)
     # workload-table batch search: 5 queries, ONE pruned posting scan
     out["batch_search"] = q(_batch_search)
+    # more-like-this: source doc term selection (tf x stored idf) ->
+    # production WAND retrieval excluding the source
+    out["more_like_this"] = q(_more_like_this)
+    # faceted search + total hit count over the FULL live match set
+    out["search_facets"] = q(_search_facets)
+    out["total_hits"] = q(_total_hits)
+    # per-(doc, term) score anatomy for the top-k (IndexSearcher.explain)
+    out["explain_topk"] = q(_explain_topk)
     # token-budget sequence packing (training-sequence construction):
     # greedy shard-local recurrence, oracled by a recursive CTE
     out["pack_sequences"] = q(
@@ -1770,6 +1946,12 @@ FROM tf GROUP BY term
     sql["index_phrase_match"] = _phrase_sql(_PHRASE_TERMS)
     # batch workload: per-query BM25 grouped + ranked in one statement
     sql["batch_search"] = _batch_sql(_BATCH_WORKLOAD, K)
+    # MLT: term selection (tf x idf, score desc / term asc) + qtf=1
+    # retrieval recomputed independently end-to-end in SQL
+    sql["more_like_this"] = _mlt_sql(MLT_DOC, MLT_MAX_TERMS, K)
+    sql["search_facets"] = _facets_sql(_Q_TERMS)
+    sql["total_hits"] = _total_hits_sql(_Q_TERMS)
+    sql["explain_topk"] = _explain_sql(_Q_TERMS, K)
     # greedy packing is a sequential recurrence (running total with reset)
     # -> replayed exactly as a recursive CTE stepping one doc per shard per
     # iteration; the OR run = 0 arm mirrors the kernel (a zero-token prefix

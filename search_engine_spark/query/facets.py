@@ -1,0 +1,73 @@
+"""Faceted search: aggregate a query's FULL match set by metadata fields.
+
+Lucene-parity feature (the ``facet`` module: per-dimension value counts
+computed while collecting matches) plus the total-hit count
+(``TotalHitCountCollector``). The reference engine returns only ranked
+pages; a production fulltext index also answers "how many matches, broken
+down by source / role / date" — the aggregation side of the same match
+set.
+
+Scale shape (100 TB story): the match set is the standard tbucket-pruned
+posting scan -> per-doc score agg -> live filter (no top-k cut — facets
+are over ALL matches). The facet dimensions join on doc_id (plain shuffle
+equi-join, AQE picks broadcast when the dim side is small) and the counts
+are a map-side-combinable hash aggregate on the facet values — cardinality
+of the OUTPUT is |distinct facet values|, never |matches|. Nothing is
+collected driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.storage import IndexStore
+
+
+def facet_counts(
+    matches: DataFrame,
+    dims: DataFrame,
+    facet_cols: list[str],
+    score_col: str = "score",
+) -> DataFrame:
+    """(facet..., n_docs, max_score, sum_score) per facet-value combination.
+
+    ``matches``: (doc_id, score) relation — typically the full live match
+    set of a query. ``dims``: any doc_id-keyed relation carrying the facet
+    columns (the index's doc registry, or an external metadata table)."""
+    joined = matches.join(
+        dims.select("doc_id", *facet_cols).dropDuplicates(["doc_id"]),
+        "doc_id",
+    )
+    return joined.groupBy(*facet_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(score_col).alias("max_score"),
+        F.sum(score_col).alias("sum_score"),
+    )
+
+
+def search_facets(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    dims: DataFrame,
+    facet_cols: list[str],
+) -> DataFrame:
+    """Facet counts over the full BM25 match set (OR semantics — every
+    live document containing at least one query term, like Lucene
+    collecting facets for every hit of a BooleanQuery)."""
+    from .bm25 import bm25_topk
+
+    matches = bm25_topk(spark, store, terms, k=None)
+    return facet_counts(matches, dims, facet_cols)
+
+
+def total_hits(spark: SparkSession, store: IndexStore, terms: list[str]) -> DataFrame:
+    """Total live match count for the query (TotalHitCountCollector):
+    one row (n_hits). The per-doc score agg is still needed to dedup
+    multi-term hits to distinct documents; the count itself is a scalar
+    aggregate — nothing wide ever leaves the executors."""
+    from .bm25 import bm25_topk
+
+    matches = bm25_topk(spark, store, terms, k=None)
+    return matches.agg(F.count("*").cast("long").alias("n_hits"))
