@@ -38,6 +38,7 @@ from search_engine_spark.analysis.analyzer import STOPWORDS, analyze  # noqa: E4
 BM25_QUERY = "batch scan data filter"
 PHRASE = "table hash"
 PHRASE_B = "part filter"
+PHRASE_C = "window join"   # third operand for the nested boolean row
 K = 10
 
 _STOPLIST_SQL = ", ".join("'" + w + "'" for w in sorted(STOPWORDS))
@@ -46,6 +47,7 @@ _STOPLIST_SQL = ", ".join("'" + w + "'" for w in sorted(STOPWORDS))
 _Q_TERMS = analyze(BM25_QUERY, stem=False)
 _PHRASE_TERMS = analyze(PHRASE, stem=False)
 _PHRASE_B_TERMS = analyze(PHRASE_B, stem=False)
+_PHRASE_C_TERMS = analyze(PHRASE_C, stem=False)
 
 # batch-search workload: mixed shapes — the flagship query, an overlap,
 # a duplicate-term query (qtf=2), a dictionary miss, a stopword-only row
@@ -829,6 +831,40 @@ SELECT count(DISTINCT doc_id) AS n_hits FROM kept WHERE term IN ({in_list})
 """
 
 
+BOOL_QUERY = f'("{PHRASE}" AND "{PHRASE_B}") OR "{PHRASE_C}"'
+
+
+def _boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested boolean query through the FULL pipeline: the parenthesized
+    tree parses to logical nodes (parser._parse_bool_tree), ALL phrase
+    leaves match in ONE adjacency-kernel pass over one pruned positional
+    scan, inner nodes combine with no ordering cut, top-k at the root."""
+    from search_engine_spark.query.pipeline import search
+
+    store = _docs_index(spark, sf_dir)
+    res = search(spark, store, BOOL_QUERY, k=K, engine="df", with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _boolean_sql(k: int) -> str:
+    """DuckDB twin of ("A" AND "B") OR "C": three phrase-scored CTEs,
+    (AND = join/sum) full-outer-joined with the third (OR = coalesce sum)."""
+    a = _phrase_scored_cte("a", _PHRASE_TERMS)
+    b = _phrase_scored_cte("b", _PHRASE_B_TERMS)
+    c = _phrase_scored_cte("c", _PHRASE_C_TERMS)
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE}, {a}, {b}, {c},
+ab AS (
+  SELECT sa.doc_id, sa.score + sb.score AS score
+  FROM sa JOIN sb USING (doc_id)
+)
+SELECT doc_id,
+       round(coalesce(ab.score, 0) + coalesce(sc.score, 0), 6) AS score
+FROM ab FULL OUTER JOIN sc USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def _explain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexSearcher.explain analog (query/explain.py): per-(top-k doc,
     present term) score factors — tf, df, idf, contribution — from ONE
@@ -1504,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["total_hits"] = q(_total_hits)
     # per-(doc, term) score anatomy for the top-k (IndexSearcher.explain)
     out["explain_topk"] = q(_explain_topk)
+    # nested boolean tree ("A" AND "B") OR "C" through the full pipeline
+    out["boolean_search"] = q(_boolean_search)
     # token-budget sequence packing (training-sequence construction):
     # greedy shard-local recurrence, oracled by a recursive CTE
     out["pack_sequences"] = q(
@@ -1952,6 +1990,7 @@ FROM tf GROUP BY term
     sql["search_facets"] = _facets_sql(_Q_TERMS)
     sql["total_hits"] = _total_hits_sql(_Q_TERMS)
     sql["explain_topk"] = _explain_sql(_Q_TERMS, K)
+    sql["boolean_search"] = _boolean_sql(K)
     # greedy packing is a sequential recurrence (running total with reset)
     # -> replayed exactly as a recursive CTE stepping one doc per shard per
     # iteration; the OR run = 0 arm mirrors the kernel (a zero-token prefix

@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def combine(left: DataFrame, right: DataFrame, op: str, k: int = 10) -> DataFrame:
+def combine(
+    left: DataFrame, right: DataFrame, op: str, k: int | None = 10
+) -> DataFrame:
+    """``k=None`` returns the full combined set unordered — the inner-node
+    form for nested boolean trees (only the ROOT takes the top-k cut, so
+    Catalyst keeps every intermediate as a plain join with no exchange
+    for ordering)."""
     l = left.select("doc_id", F.col("score").alias("score_l"))
     r = right.select("doc_id", F.col("score").alias("score_r"))
     if op == "AND":
@@ -38,4 +44,6 @@ def combine(left: DataFrame, right: DataFrame, op: str, k: int = 10) -> DataFram
         )
     else:
         raise ValueError(f"unknown logical op: {op}")
+    if k is None:
+        return out
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -51,6 +51,20 @@ _PURE_PREFIX_RE = re.compile(r"^[A-Za-z]+\*$")
 _FUZZY_RE = re.compile(r"\b([A-Za-z]+)~")
 
 
+# nested boolean: `("A" AND "B") OR "C"` — parenthesized (or multi-op)
+# expressions of quoted operands, an engine extension beyond the
+# reference's single binary form (Lucene BooleanQuery nesting). Only
+# attempted when the query contains a '(' or MORE than one operator, so
+# the reference's flat binary form keeps parsing through _LOGICAL_RE
+# unchanged (the tree would produce identical semantics anyway).
+# Precedence: AND/NOT bind tighter than OR; same-level ops left-assoc
+# (`"a" NOT "b" AND "c"` == `("a" NOT "b") AND "c"`). Any malformed
+# input (unbalanced parens, dangling op, unquoted operand) degenerates
+# to free text like every other malformed form.
+_BOOL_TOKEN_RE = re.compile(r'\(|\)|\bAND\b|\bOR\b|\bNOT\b|"[^"]*"')
+_BOOL_OP_RE = re.compile(r"\b(?:AND|OR|NOT)\b")
+
+
 @dataclass
 class ParsedQuery:
     kind: str  # 'term' | 'phrase' | 'logical' | 'near' | 'near_chain'
@@ -65,10 +79,86 @@ class ParsedQuery:
     window: int | None = None           # near: max position distance
 
 
+def _phrase_leaf(inner: str, stem: bool) -> ParsedQuery:
+    """Quoted operand -> phrase leaf; <2 analyzed terms degenerates to a
+    term leaf (QueryProcessor.java:134-138, same rule as the flat form)."""
+    from ..analysis.analyzer import analyze_query
+
+    terms = analyze_query(inner, stem=stem)
+    return ParsedQuery("phrase" if len(terms) >= 2 else "term", inner, terms=terms)
+
+
+def _parse_bool_tree(q: str, stem: bool) -> ParsedQuery | None:
+    """Recursive-descent parse of a parenthesized boolean expression whose
+    operands are quoted. Returns None (caller degenerates) unless the
+    WHOLE input tokenizes cleanly and the grammar accepts it."""
+    toks: list[str] = []
+    pos = 0
+    for m in _BOOL_TOKEN_RE.finditer(q):
+        if q[pos : m.start()].strip():
+            return None  # stray text between tokens
+        toks.append(m.group(0))
+        pos = m.end()
+    if q[pos:].strip() or not toks:
+        return None
+
+    i = 0
+
+    def atom() -> ParsedQuery | None:
+        nonlocal i
+        if i >= len(toks):
+            return None
+        t = toks[i]
+        if t == "(":
+            i += 1
+            node = or_expr()
+            if node is None or i >= len(toks) or toks[i] != ")":
+                return None
+            i += 1
+            return node
+        if t.startswith('"'):
+            i += 1
+            return _phrase_leaf(t.strip('"'), stem)
+        return None
+
+    def and_expr() -> ParsedQuery | None:
+        nonlocal i
+        node = atom()
+        while node is not None and i < len(toks) and toks[i] in ("AND", "NOT"):
+            op = toks[i]
+            i += 1
+            rhs = atom()
+            if rhs is None:
+                return None
+            node = ParsedQuery("logical", q, op=op, left=node, right=rhs)
+        return node
+
+    def or_expr() -> ParsedQuery | None:
+        nonlocal i
+        node = and_expr()
+        while node is not None and i < len(toks) and toks[i] == "OR":
+            i += 1
+            rhs = and_expr()
+            if rhs is None:
+                return None
+            node = ParsedQuery("logical", q, op="OR", left=node, right=rhs)
+        return node
+
+    tree = or_expr()
+    if tree is None or i != len(toks):
+        return None
+    # a bare parenthesized phrase `("a b")` folds to its leaf
+    return tree
+
+
 def parse_query(query: str, stem: bool = True) -> ParsedQuery:
     from ..analysis.analyzer import analyze_query
 
     q = (query or "").strip()
+    if '"' in q and ("(" in q or len(_BOOL_OP_RE.findall(q)) >= 2):
+        tree = _parse_bool_tree(q, stem)
+        if tree is not None:
+            return tree
     m = _LOGICAL_RE.match(q)
     if m:
         left = ParsedQuery("phrase", m.group(1), terms=analyze_query(m.group(1), stem=stem))

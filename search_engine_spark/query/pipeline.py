@@ -77,6 +77,14 @@ def _expand_terms(
     return terms
 
 
+def _logical_leaves(pq) -> list:
+    """In-order operand leaves of a logical tree (depth 1 for the
+    reference's flat binary form; arbitrary for parenthesized queries)."""
+    if pq.kind == "logical":
+        return _logical_leaves(pq.left) + _logical_leaves(pq.right)
+    return [pq]
+
+
 def search(
     spark: SparkSession,
     store: IndexStore,
@@ -106,38 +114,47 @@ def search(
     fetch_k = k if not blend_popularity else max(4 * k, 50)
     expanded: list[str] | None = None  # dictionary expansions, if any
     if pq.kind == "logical":
-        l_terms, r_terms = (pq.left.terms or []), (pq.right.terms or [])
-        if (
-            pq.left.kind == "phrase" and pq.right.kind == "phrase"
-            and l_terms and r_terms
-            and (len(l_terms) > 1 or len(r_terms) > 1)
-        ):
-            # both sides phrases (the reference's Q4 shape): ONE pruned
-            # positional scan for the union of both sides' terms, ONE
-            # doc_id layout, and ONE adjacency-kernel pass matching both
-            # sides (each blob decoded at most once). Only the tiny match
-            # set is checkpointed — r3 eagerly checkpointed the whole
-            # position-row superset and ran the kernel once per side, which
-            # made the materialization the dominant cost of a logical query
-            # at the 3.9M-turn index. localCheckpoint (not persist):
-            # query-scoped, GC-reclaimed, no CacheManager entry leaked.
+        # binary (the reference's Q4 shape) OR a nested boolean tree
+        # (parser._parse_bool_tree). Either way: ALL phrase leaves share
+        # ONE pruned positional scan, ONE doc_id layout, and ONE
+        # adjacency-kernel pass (each blob decoded at most once); only the
+        # tiny match set is checkpointed. localCheckpoint (not persist):
+        # query-scoped, GC-reclaimed, no CacheManager entry leaked.
+        # Inner tree nodes combine with k=None (no ordering exchange);
+        # only the root takes the top-k cut.
+        leaves = _logical_leaves(pq)
+        phrase_leaves = [
+            leaf for leaf in leaves
+            if leaf.kind == "phrase" and len(leaf.terms or []) > 1
+        ]
+        scored_leaves: dict[int, DataFrame] = {}
+        if phrase_leaves:
             from .phrase import phrase_matches_multi, score_phrase_matches
 
             matches = phrase_matches_multi(
-                spark, store, [l_terms, r_terms]
+                spark, store, [leaf.terms for leaf in phrase_leaves]
             ).localCheckpoint(eager=True)
-            left = score_phrase_matches(
-                spark, store, matches.filter(F.col("side") == 0).drop("side"),
-                k=None,
-            )
-            right = score_phrase_matches(
-                spark, store, matches.filter(F.col("side") == 1).drop("side"),
-                k=None,
-            )
-        else:
-            left = _score_side(spark, store, pq.left, engine, k=None)
-            right = _score_side(spark, store, pq.right, engine, k=None)
-        topk = combine(left, right, pq.op, k=fetch_k)
+            for i, leaf in enumerate(phrase_leaves):
+                scored_leaves[id(leaf)] = score_phrase_matches(
+                    spark, store,
+                    matches.filter(F.col("side") == i).drop("side"),
+                    k=None,
+                )
+
+        def _fold(node) -> DataFrame:
+            if node.kind == "logical":
+                return combine(
+                    _fold(node.left), _fold(node.right), node.op, k=None
+                )
+            if id(node) in scored_leaves:
+                return scored_leaves[id(node)]
+            return _score_side(spark, store, node, engine, k=None)
+
+        topk = (
+            _fold(pq)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(fetch_k)
+        )
     elif pq.kind == "near":
         # proximity: segment-served NEAR/w pair counting scored as a
         # synthetic term (same BM25 shape as phrase matches)
@@ -212,7 +229,9 @@ def search(
     # operator words (AND/OR/NOT, the 'near' of NEAR/w) must not highlight
     # incidental occurrences of themselves in document text
     if pq.kind == "logical":
-        raw_src = f"{pq.left.raw} {pq.right.raw}"
+        raw_src = " ".join(
+            leaf.raw for leaf in _logical_leaves(pq)
+        )
     elif pq.kind in ("near", "near_chain"):
         raw_src = _NEAR_OP_RE.sub(" ", pq.raw)
     else:
