@@ -86,6 +86,10 @@ QUERY_SET = [
     ("logical_and", '"spark index" AND "query model"', "df"),
     ("logical_or", '"spark index" OR "query model"', "df"),
     ("logical_not", '"spark index" NOT "query model"', "df"),
+    # nested boolean tree (r5): three phrase leaves, ONE kernel pass for
+    # all of them, inner OR combined with no ordering cut
+    ("boolean_nested",
+     '("spark index" AND "query model") OR "token search"', "df"),
 ]
 
 
