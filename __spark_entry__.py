@@ -831,6 +831,42 @@ SELECT count(DISTINCT doc_id) AS n_hits FROM kept WHERE term IN ({in_list})
 """
 
 
+def _lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second similarity (query/lm.py): Dirichlet-smoothed query
+    likelihood (Lucene LMDirichletSimilarity, mu=2000) over the same
+    pruned posting scan as BM25 — cf(t) is one extra agg over that scan,
+    broadcast back. The oracle recomputes P(t|C) from exact token counts."""
+    from search_engine_spark.query.lm import lm_dirichlet_topk
+
+    store = _docs_index(spark, sf_dir)
+    res = lm_dirichlet_topk(spark, store, _Q_TERMS, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _lm_sql(terms: list[str], k: int, mu: float = 2000.0) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+total AS (SELECT count(*) AS c FROM kept),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+cf AS (SELECT term, sum(tf) AS cfv FROM tf GROUP BY term),
+qterms(term, qtf) AS (VALUES {_values_terms(terms)}),
+scored AS (
+  SELECT tf.doc_id,
+         qtf * (ln(1.0 + tf / ({mu} * (cfv * 1.0 / c)))
+                + ln({mu} / (doc_len + {mu}))) AS s
+  FROM tf JOIN cf USING (term) JOIN qterms USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN total
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 BOOL_QUERY = f'("{PHRASE}" AND "{PHRASE_B}") OR "{PHRASE_C}"'
 
 
@@ -1542,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["explain_topk"] = q(_explain_topk)
     # nested boolean tree ("A" AND "B") OR "C" through the full pipeline
     out["boolean_search"] = q(_boolean_search)
+    # second similarity: Dirichlet query likelihood over the same scan
+    out["lm_topk"] = q(_lm_topk)
     # token-budget sequence packing (training-sequence construction):
     # greedy shard-local recurrence, oracled by a recursive CTE
     out["pack_sequences"] = q(
@@ -1991,6 +2029,7 @@ FROM tf GROUP BY term
     sql["total_hits"] = _total_hits_sql(_Q_TERMS)
     sql["explain_topk"] = _explain_sql(_Q_TERMS, K)
     sql["boolean_search"] = _boolean_sql(K)
+    sql["lm_topk"] = _lm_sql(_Q_TERMS, K)
     # greedy packing is a sequential recurrence (running total with reset)
     # -> replayed exactly as a recursive CTE stepping one doc per shard per
     # iteration; the OR run = 0 arm mirrors the kernel (a zero-token prefix

@@ -29,16 +29,20 @@ def facet_counts(
     dims: DataFrame,
     facet_cols: list[str],
     score_col: str = "score",
+    dedup_dims: bool = False,
 ) -> DataFrame:
     """(facet..., n_docs, max_score, sum_score) per facet-value combination.
 
     ``matches``: (doc_id, score) relation — typically the full live match
     set of a query. ``dims``: any doc_id-keyed relation carrying the facet
-    columns (the index's doc registry, or an external metadata table)."""
-    joined = matches.join(
-        dims.select("doc_id", *facet_cols).dropDuplicates(["doc_id"]),
-        "doc_id",
-    )
+    columns (the index's doc registry, or an external metadata table).
+    ``dedup_dims``: set when the dim table may repeat doc_ids — it costs a
+    doc_id shuffle of the WHOLE dim table, so it stays off for the normal
+    case (the doc registry is unique by construction)."""
+    dim_rel = dims.select("doc_id", *facet_cols)
+    if dedup_dims:
+        dim_rel = dim_rel.dropDuplicates(["doc_id"])
+    joined = matches.join(dim_rel, "doc_id")
     return joined.groupBy(*facet_cols).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.max(score_col).alias("max_score"),
