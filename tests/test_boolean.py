@@ -91,3 +91,24 @@ def test_nested_boolean_matches_bruteforce(
     assert [int(r["doc_id"]) for r in rows] == [d for d, _ in exp]
     for r, (_, s) in zip(rows, exp):
         assert abs(float(r["score"]) - s) < 1e-9
+
+
+def test_term_leaf_inside_tree(spark, index_store, oracle_index):
+    """A single-word operand degenerates to a TERM leaf inside the tree —
+    BM25-scored via _score_side, not the phrase kernel."""
+    from search_engine_spark.oracle import score_terms
+    from search_engine_spark.query.pipeline import search
+
+    A = _leaf_scores(oracle_index, "spark index")
+    B = score_terms(oracle_index, analyze("model"))
+    C = _leaf_scores(oracle_index, "token search")
+    exp = _topk(_fold("AND", _fold("OR", A, B), C), 10)
+
+    rows = search(
+        spark, index_store,
+        '("spark index" OR "model") AND "token search"',
+        k=10, with_metadata=False,
+    ).collect()
+    assert [int(r["doc_id"]) for r in rows] == [d for d, _ in exp]
+    for r, (_, s) in zip(rows, exp):
+        assert abs(float(r["score"]) - s) < 1e-9
