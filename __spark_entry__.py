@@ -814,6 +814,50 @@ GROUP BY d.source
 """
 
 
+FILTER_SOURCE = "src1"  # metadata predicate for the filtered-search row
+
+
+def _filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-clause search (query/facets.filtered_topk): top-k for the
+    flagship query restricted to documents from one source — the
+    predicate constrains matching only; scoring stats stay corpus-global
+    (Lucene BooleanQuery FILTER semantics)."""
+    from search_engine_spark.query.facets import filtered_topk
+
+    store = _docs_index(spark, sf_dir)
+    allowed = _docs(spark, sf_dir).filter(
+        F.col("source") == FILTER_SOURCE
+    ).select("doc_id")
+    res = filtered_topk(spark, store, _Q_TERMS, allowed, k=K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _filtered_sql(terms: list[str], k: int, source: str) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {_KEPT_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(term, qtf) AS (VALUES {_values_terms(terms)}),
+scored AS (
+  SELECT tf.doc_id,
+         qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))
+         AS s
+  FROM tf JOIN dfreq USING (term) JOIN qterms USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT s.doc_id, round(sum(s.s), 6) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.source = '{source}'
+GROUP BY s.doc_id ORDER BY score DESC, s.doc_id LIMIT {k}
+"""
+
+
 def _total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TotalHitCountCollector analog: live match count for the flagship
     query — a scalar aggregate over the pruned posting scan."""
@@ -1580,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["boolean_search"] = q(_boolean_search)
     # second similarity: Dirichlet query likelihood over the same scan
     out["lm_topk"] = q(_lm_topk)
+    # FILTER-clause search: predicate restricts matches, not scoring
+    out["filtered_search"] = q(_filtered_search)
     # token-budget sequence packing (training-sequence construction):
     # greedy shard-local recurrence, oracled by a recursive CTE
     out["pack_sequences"] = q(
@@ -2030,6 +2076,7 @@ FROM tf GROUP BY term
     sql["explain_topk"] = _explain_sql(_Q_TERMS, K)
     sql["boolean_search"] = _boolean_sql(K)
     sql["lm_topk"] = _lm_sql(_Q_TERMS, K)
+    sql["filtered_search"] = _filtered_sql(_Q_TERMS, K, FILTER_SOURCE)
     # greedy packing is a sequential recurrence (running total with reset)
     # -> replayed exactly as a recursive CTE stepping one doc per shard per
     # iteration; the OR run = 0 arm mirrors the kernel (a zero-token prefix

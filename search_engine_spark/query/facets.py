@@ -66,6 +66,33 @@ def search_facets(
     return facet_counts(matches, dims, facet_cols)
 
 
+def filtered_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    allowed: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k restricted to an allowed doc set (Lucene BooleanQuery FILTER
+    clause): the predicate constrains WHICH documents may match but does
+    not touch scoring — tf/df/idf/avgdl stay corpus-global, exactly like
+    a filter clause contributing no score.
+
+    ``allowed``: any relation with a doc_id column (typically a pushed-
+    predicate scan of the doc registry or an external metadata table).
+    Scale shape: the match set is already term-pruned; the semi-join on
+    doc_id is a plain equi-join AQE can broadcast when the filter side is
+    small, and the top-k cut happens after it, so no ordering exchange
+    runs over unfiltered candidates."""
+    from .bm25 import bm25_topk
+
+    matches = bm25_topk(spark, store, terms, k=None)
+    # left_semi: emits each match at most once regardless of duplicate
+    # doc_ids on the filter side — no dedup pass needed
+    out = matches.join(allowed.select("doc_id"), "doc_id", "left_semi")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def total_hits(spark: SparkSession, store: IndexStore, terms: list[str]) -> DataFrame:
     """Total live match count for the query (TotalHitCountCollector):
     one row (n_hits). The per-doc score agg is still needed to dedup

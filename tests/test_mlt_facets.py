@@ -88,3 +88,28 @@ def test_facets_and_total_hits(spark, index_store, oracle_index):
 
     (hits,) = total_hits(spark, index_store, terms).collect()
     assert hits["n_hits"] == len(scores)
+
+
+def test_filtered_topk(spark, index_store, oracle_index):
+    """FILTER clause: predicate restricts matches; scoring stays global."""
+    from search_engine_spark.query.facets import filtered_topk
+
+    terms = analyze("spark index query")
+    scores = score_terms(oracle_index, terms)
+    allowed_ids = set(
+        oracle_index.docs.loc[
+            oracle_index.docs["role"] == "assistant", "doc_id"
+        ].astype(int)
+    )
+    exp = sorted(
+        ((d, s) for d, s in scores.items() if d in allowed_ids),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+
+    allowed = spark.createDataFrame(
+        [(int(d),) for d in sorted(allowed_ids)], "doc_id long"
+    )
+    rows = filtered_topk(spark, index_store, terms, allowed, k=10).collect()
+    assert [int(r["doc_id"]) for r in rows] == [d for d, _ in exp]
+    for r, (_, s) in zip(rows, exp):
+        assert abs(float(r["score"]) - s) < 1e-9
