@@ -623,7 +623,8 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     from search_engine_spark.index.storage import IndexStore
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v4_{h}"
+    # _v5: term_stats carries the build-time cf column (LM serve path)
+    d = os.environ.get("SPARK_GRAFT_DIX", "/tmp/se_entry_docs_ix") + f"_v5_{h}"
     done = Path(d) / "_ENTRY_DONE"
 
     def build():
@@ -878,8 +879,9 @@ SELECT count(DISTINCT doc_id) AS n_hits FROM kept WHERE term IN ({in_list})
 def _lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second similarity (query/lm.py): Dirichlet-smoothed query
     likelihood (Lucene LMDirichletSimilarity, mu=2000) over the same
-    pruned posting scan as BM25 — cf(t) is one extra agg over that scan,
-    broadcast back. The oracle recomputes P(t|C) from exact token counts."""
+    pruned posting scan as BM25 — cf(t) is read from the build-time
+    term_stats column (broadcast with the stats join, no per-term window).
+    The oracle recomputes P(t|C) from exact token counts."""
     from search_engine_spark.query.lm import lm_dirichlet_topk
 
     store = _docs_index(spark, sf_dir)

@@ -174,52 +174,63 @@ def build_postings(docs_analyzed: DataFrame) -> DataFrame:
     from .codec import varbyte_encode_with_sizes
 
     def agg_stream(batches):
-        import numpy as np
+        # mapInArrow, not mapInPandas: the output is ~15 posting rows per
+        # doc with a string term and a binary blob each — materializing
+        # those as 10M+ Python objects (pandas object columns) on the way
+        # back to the JVM measurably dominated the stage (guide §4.2). In
+        # Arrow everything stays in C buffers: terms dictionary-encode
+        # without objects, the per-group position spans become ONE
+        # BinaryArray built from an offsets array over the single varbyte
+        # buffer (the spans tile it in sorted order — zero copies).
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series(dtype="int64"),
-                "term": pd.Series(dtype="object"),
-                "tf": pd.Series(dtype="int32"),
-                "positions": pd.Series(dtype="object"),
-                "doc_len": pd.Series(dtype="int32"),
-                "importance": pd.Series(dtype="float64"),
-            }
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int32()),
+                ("positions", pa.binary()),
+                ("doc_len", pa.int32()),
+                ("importance", pa.float64()),
+            ]
         )
-        for pdf in batches:
-            n = len(pdf)
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            # Fully vectorized per-batch aggregation (no per-token Python):
-            # flatten every doc's token stream, factorize terms to int codes
-            # (C hash), stable-sort by (doc_id, code) so group slicing gives
-            # ascending in-doc positions, then varbyte-encode ALL positions
-            # in ONE call and hand each (doc, term) group its byte span.
-            # The previous per-doc dict + per-posting encode spent ~70% of
-            # the whole index build in Python/numpy call overhead.
-            terms_col = pdf["terms"]
-            counts = np.fromiter(
-                (len(t) for t in terms_col), dtype=np.int64, count=n
+            names = rb.schema.names
+            doc_col = rb.column(names.index("doc_id"))
+            role_col = rb.column(names.index("role"))
+            terms_col = rb.column(names.index("terms"))
+            counts = (
+                pc.list_value_length(terms_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
             total = int(counts.sum())
             if total == 0:
-                yield empty
                 continue
-            doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+            # flatten every doc's token stream; dictionary-encode terms to
+            # int codes entirely in C (no Python string objects)
+            flat = pc.list_flatten(terms_col)
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniques = denc.dictionary
+            doc_ids = doc_col.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_rep = np.repeat(doc_ids, counts)
             dl_rep = np.repeat(counts, counts)
-            w = np.fromiter(
-                (ROLE_WEIGHTS.get(r, 1.0) for r in pdf["role"]),
-                dtype=np.float64, count=n,
+            rdenc = pc.dictionary_encode(role_col)
+            w_uniq = np.array(
+                [ROLE_WEIGHTS.get(r, 1.0) for r in rdenc.dictionary.to_pylist()],
+                dtype=np.float64,
             )
+            w = w_uniq[rdenc.indices.to_numpy(zero_copy_only=False)]
             w_rep = np.repeat(w, counts)
             doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
                 doc_starts, counts
             )
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in terms_col]
-            )
-            codes, uniques = pd.factorize(flat)
             order = np.lexsort((codes, doc_rep))  # stable -> positions asc
             d_s = doc_rep[order]
             c_s = codes[order]
@@ -229,23 +240,30 @@ def build_postings(docs_analyzed: DataFrame) -> DataFrame:
             tf = (ends - starts).astype(np.int32)
             enc, sizes = varbyte_encode_with_sizes(pos_flat[order])
             byte_offs = np.concatenate(([0], np.cumsum(sizes)))
-            b0 = byte_offs[starts].tolist()
-            b1 = byte_offs[ends].tolist()
-            mv = memoryview(enc)
-            positions_out = [mv[a:b].tobytes() for a, b in zip(b0, b1)]
-            uarr = np.asarray(uniques, dtype=object)
-            yield pd.DataFrame(
-                {
-                    "doc_id": d_s[starts],
-                    "term": uarr[c_s[starts]],
-                    "tf": tf,
-                    "positions": positions_out,
-                    "doc_len": dl_rep[order][starts].astype(np.int32),
-                    "importance": w_rep[order][starts] * tf,
-                }
+            # per-(doc, term) position spans tile the encoded buffer in
+            # sorted order (ends[i] == starts[i+1]), so the output binary
+            # column is just an offsets array over it — no per-row bytes
+            pos_offs = byte_offs[np.concatenate((starts, [total]))].astype(
+                np.int32
+            )
+            positions_arr = pa.Array.from_buffers(
+                pa.binary(),
+                len(starts),
+                [None, pa.py_buffer(pos_offs.tobytes()), pa.py_buffer(enc)],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(d_s[starts], type=pa.int64()),
+                    pc.take(uniques, pa.array(c_s[starts])),
+                    pa.array(tf, type=pa.int32()),
+                    positions_arr,
+                    pa.array(dl_rep[order][starts].astype(np.int32)),
+                    pa.array(w_rep[order][starts] * tf, type=pa.float64()),
+                ],
+                schema=out_schema,
             )
 
-    return docs_analyzed.select("doc_id", "role", "terms").mapInPandas(
+    return docs_analyzed.select("doc_id", "role", "terms").mapInArrow(
         agg_stream, schema=POSTINGS_SCHEMA
     )
 
@@ -258,14 +276,19 @@ def decode_positions(buf: bytes, tf: int):
 
 
 def build_term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
-    """A3+A5 in one job: (term, df, idf, bm25_idf).
+    """A3+A5 in one job: (term, df, cf, idf, bm25_idf).
 
     ``idf`` is the reference formula ln(N/(1+df)) (``Indexer.java:384-388``);
     ``bm25_idf`` = ln(1+(N-df+0.5)/(df+0.5)) is the north-rule scoring.
+    ``cf`` (collection frequency, sum of tf) rides the SAME map-side-
+    combinable aggregate: the Dirichlet LM scorer needs P(t|C) = cf/|C|,
+    and reading it here removes the per-term window shuffle the LM query
+    otherwise pays at serve time (a maximally skewed key: every posting of
+    a head term in one partition).
     """
     return (
         postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
         .withColumn("idf", F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)))
         .withColumn(
             "bm25_idf",
@@ -335,39 +358,67 @@ def encode_segments(
     )
 
     def encode_stream(batches):
-        def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # mapInArrow, not mapInPandas: the input is 50M+ rows per build
+        # with a string term and a binary positions blob each — pandas
+        # conversion materializes every one as a Python object, which an
+        # isolated measurement showed costing ~2x the shuffle+sort of the
+        # whole stage (guide §4.2). In Arrow the term column stays in C
+        # buffers (boundary detection via compute.not_equal on slices,
+        # group terms extracted via take — only one Python string per
+        # GROUP, for crc32 bucketing and output) and the positional stream
+        # is sliced straight out of the BinaryArray's data buffer via its
+        # offsets (row blobs are contiguous in row order — zero copies).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .codec import (
+            BLOCK_SIZE,
+            FLAG_WEIGHTS,
+            MAGIC,
+            WEIGHT_SCALE,
+            _HEADER,
+            _POS_HEADER,
+            f32_upper,
+            varbyte_encode_with_sizes,
+        )
+
+        out_schema = pa.schema(
+            [
+                ("term", pa.string()),
+                ("drange", pa.int64()),
+                ("tbucket", pa.int32()),
+                ("df_local", pa.int64()),
+                ("first_doc_id", pa.int64()),
+                ("last_doc_id", pa.int64()),
+                ("max_impact", pa.float64()),
+                ("postings", pa.binary()),
+                ("positions", pa.binary()),
+            ]
+        )
+
+        def encode_groups(tb: pa.Table) -> pa.RecordBatch:
             """Vectorized group encoder, byte-identical to per-group
             ``encode_postings`` (tested): varbyte streams concatenate, so
             gaps/tfs/dls for the WHOLE sorted batch are encoded in one call
             each; per-block metadata (last docID, max impact, stream
             offsets) falls out of ``reduceat`` over block boundaries; the
             block directory is a structured array serialized per group.
-            The previous per-group encode spent the stage in tiny-array
-            numpy call overhead (Zipf tail = millions of 1-posting groups)."""
-            from .codec import (
-                BLOCK_SIZE,
-                FLAG_WEIGHTS,
-                MAGIC,
-                WEIGHT_SCALE,
-                _HEADER,
-                _POS_HEADER,
-                f32_upper,
-                varbyte_encode_with_sizes,
-            )
-
-            terms = pdf["term"].to_numpy()
-            dranges = pdf["drange"].to_numpy(np.int64)
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            tfs = pdf["tf"].to_numpy(np.int64)
-            dls = pdf["doc_len"].to_numpy(np.int64)
+            ``tb`` is single-chunked and sorted by (term, drange, doc_id)."""
+            n_rows = tb.num_rows
+            term_arr = tb.column("term").chunk(0)
+            dranges = tb.column("drange").to_numpy().astype(np.int64)
+            ids = tb.column("doc_id").to_numpy().astype(np.int64)
+            tfs = tb.column("tf").to_numpy().astype(np.int64)
+            dls = tb.column("doc_len").to_numpy().astype(np.int64)
             # pre-quantized role weight (importance/tf * WEIGHT_SCALE, see
             # the select above — exact for the integer ROLE_WEIGHTS)
-            w_q = pdf["wq"].to_numpy(np.int64)
-            n_rows = len(pdf)
-            # group boundaries on the sorted (term, drange) stream
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (dranges[1:] != dranges[:-1])
-            )
+            w_q = tb.column("wq").to_numpy().astype(np.int64)
+            # group boundaries on the sorted (term, drange) stream: term
+            # adjacency compared in C on the Arrow string column
+            term_neq = pc.not_equal(
+                term_arr.slice(1), term_arr.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+            change = np.flatnonzero(term_neq | (dranges[1:] != dranges[:-1]))
             starts = np.concatenate(([0], change + 1))
             ends = np.concatenate((change + 1, [n_rows]))
             imp_all = tfs * (BM25_K1 + 1.0) / (
@@ -390,14 +441,15 @@ def encode_segments(
             w_off = np.concatenate(([0], np.cumsum(w_sz)))
             # positional stream: the per-posting blobs are ALREADY varbyte
             # (build_postings encodes them once); the segment stream is
-            # their concatenation in the sorted order, so no re-encode —
-            # only offset bookkeeping for the per-block skip directory
-            pos_blobs = pdf["positions"].to_numpy()
-            pos_sz = np.fromiter(
-                (len(b) for b in pos_blobs), dtype=np.int64, count=n_rows
-            )
-            pos_off = np.concatenate(([0], np.cumsum(pos_sz)))
-            pos_mv = memoryview(b"".join(pos_blobs))
+            # their concatenation in sorted order, which IS the binary
+            # column's data buffer (values are stored contiguously in row
+            # order) — slice it through the column's own offsets, no join
+            pos_arr = tb.column("positions").chunk(0)
+            _o = pos_arr.offset
+            pos_off = np.frombuffer(pos_arr.buffers()[1], dtype=np.int32)[
+                _o : _o + n_rows + 1
+            ].astype(np.int64)
+            pos_mv = memoryview(pos_arr.buffers()[2])
             # groups where every weight is 1 omit the stream entirely
             grp_has_w = (
                 np.maximum.reduceat(w_q, starts) != WEIGHT_SCALE
@@ -474,41 +526,57 @@ def encode_segments(
                     + pos_blk_end[blk_cum[gi]:blk_cum[gi + 1]].tobytes()
                     + pos_mv[pos_off[s]:pos_off[e]].tobytes()
                 )
-            term_vals = terms[starts]
-            return pd.DataFrame(
-                {
-                    "term": term_vals,
-                    "drange": dranges[starts],
-                    "tbucket": [
-                        term_bucket_py(t, n_buckets) for t in term_vals
-                    ],
-                    "df_local": (ends - starts).astype(np.int64),
-                    "first_doc_id": ids[starts],
-                    "last_doc_id": ids[ends - 1],
-                    "max_impact": grp_max,
-                    "postings": postings_out,
-                    "positions": positions_out,
-                }
+            term_vals = pc.take(term_arr, pa.array(starts))
+            return pa.RecordBatch.from_arrays(
+                [
+                    term_vals,
+                    pa.array(dranges[starts], type=pa.int64()),
+                    pa.array(
+                        np.fromiter(
+                            (
+                                term_bucket_py(t, n_buckets)
+                                for t in term_vals.to_pylist()
+                            ),
+                            dtype=np.int32,
+                            count=len(starts),
+                        )
+                    ),
+                    pa.array((ends - starts).astype(np.int64)),
+                    pa.array(ids[starts], type=pa.int64()),
+                    pa.array(ids[ends - 1], type=pa.int64()),
+                    pa.array(grp_max, type=pa.float64()),
+                    pa.array(postings_out, type=pa.binary()),
+                    pa.array(positions_out, type=pa.binary()),
+                ],
+                schema=out_schema,
             )
 
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
+        carry: pa.Table | None = None
+        for rb in batches:
+            tb = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tb = pa.concat_tables([carry, tb])
+            n = tb.num_rows
+            if n == 0:
                 continue
-            # hold back the trailing group: it may continue in the next batch
-            last_term = pdf["term"].iloc[-1]
-            last_dr = pdf["drange"].iloc[-1]
-            tail = (pdf["term"] == last_term) & (pdf["drange"] == last_dr)
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield encode_groups(body)
-        if carry is not None and len(carry):
-            yield encode_groups(carry)
+            tb = tb.combine_chunks()
+            # hold back the trailing group: it may continue in the next
+            # batch (input sorted by (term, drange) -> the trailing group
+            # is exactly the suffix run equal to the last row's key)
+            term_arr = tb.column("term").chunk(0)
+            dranges = tb.column("drange").to_numpy()
+            tail_eq = pc.equal(term_arr, term_arr[n - 1]).to_numpy(
+                zero_copy_only=False
+            ) & (dranges == dranges[n - 1])
+            nz = np.flatnonzero(~tail_eq)
+            tail_start = int(nz[-1]) + 1 if nz.size else 0
+            carry = tb.slice(tail_start)
+            if tail_start:
+                yield encode_groups(tb.slice(0, tail_start).combine_chunks())
+        if carry is not None and carry.num_rows:
+            yield encode_groups(carry.combine_chunks())
 
-    return sorted_parts.mapInPandas(encode_stream, schema=SEGMENT_SCHEMA)
+    return sorted_parts.mapInArrow(encode_stream, schema=SEGMENT_SCHEMA)
 
 
 def positional_postings(postings: DataFrame) -> DataFrame:

@@ -44,7 +44,9 @@ POSTINGS_DDL = (
     "importance double, tbucket int"
 )
 POSITIONS_DDL = POSTINGS_DDL
-TERM_STATS_DDL = "term string, df long, idf double, bm25_idf double, tbucket int"
+TERM_STATS_DDL = (
+    "term string, df long, cf long, idf double, bm25_idf double, tbucket int"
+)
 SEGMENTS_DDL = (
     "term string, drange long, df_local long, first_doc_id long, "
     "last_doc_id long, max_impact double, postings binary, "
@@ -61,6 +63,66 @@ def _read_or_empty(spark: SparkSession, path: str, fallback_ddl: str) -> DataFra
         if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
             return spark.createDataFrame([], fallback_ddl)
         raise
+
+
+# ---------------------------------------------------------------------------
+# Reader memo: `spark.read.parquet` costs ~0.2 s per call on a built index
+# (recursive file listing + schema inference from footers) and every query
+# constructs 2-3 readers — ~40% of a served query's latency was re-listing
+# unchanged directories. The memo caches the constructed DataFrame (the
+# UNRESOLVED plan + file index — never rows; every action still computes
+# from parquet) per (session, path), invalidated by a shallow filesystem
+# fingerprint: the mtimes of the artifact dir and its partition SUBDIRS
+# (~65 os.stat calls, <2 ms). Every mutation path changes it — full
+# overwrites and replace_dir bump the root mtime; streaming publish()
+# drops files into tbucket=N/ subdirs, bumping those; unpublish likewise.
+# This is the open-IndexReader analog every production engine holds.
+# ---------------------------------------------------------------------------
+
+_READER_CACHE: dict[tuple, tuple[tuple, DataFrame]] = {}
+_READER_CACHE_MAX = 64
+
+
+def _dir_fingerprint(path: str) -> tuple | None:
+    import os
+
+    root = Path(path)
+    try:
+        st = root.stat()
+    except OSError:
+        return None
+    parts: list = [st.st_mtime_ns]
+    try:
+        with os.scandir(root) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                if e.is_dir(follow_symlinks=False):
+                    parts.append((e.name, e.stat().st_mtime_ns))
+                    # partitioned layouts nest once more (segments:
+                    # chunk=N/tbucket=M) — one extra level covers them
+                    with os.scandir(e.path) as it2:
+                        for e2 in sorted(it2, key=lambda x: x.name):
+                            if e2.is_dir(follow_symlinks=False):
+                                parts.append(
+                                    (e.name, e2.name, e2.stat().st_mtime_ns)
+                                )
+    except OSError:
+        return None
+    return tuple(parts)
+
+
+def _read_cached(spark: SparkSession, path: str, fallback_ddl: str) -> DataFrame:
+    fp = _dir_fingerprint(path)
+    if fp is None:  # missing dir: empty-frame fallback, never cached
+        return _read_or_empty(spark, path, fallback_ddl)
+    key = (spark.sparkContext.applicationId, path)
+    hit = _READER_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    df = _read_or_empty(spark, path, fallback_ddl)
+    while len(_READER_CACHE) >= _READER_CACHE_MAX:
+        _READER_CACHE.pop(next(iter(_READER_CACHE)))
+    _READER_CACHE[key] = (fp, df)
+    return df
 
 
 class IndexStore:
@@ -115,24 +177,27 @@ class IndexStore:
         ).exists() and (self.manifest_dir / f"chunk_{chunk}.json").exists()
 
     # -- readers ---------------------------------------------------------
+    # All readers go through the fingerprint-invalidated memo (see
+    # _read_cached): repeated queries skip the per-call file listing +
+    # schema inference; any artifact mutation is picked up via dir mtimes.
     def docs(self, spark: SparkSession) -> DataFrame:
-        return _read_or_empty(spark, self.docs_path, DOCS_DDL)
+        return _read_cached(spark, self.docs_path, DOCS_DDL)
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return _read_or_empty(spark, self.postings_path, POSTINGS_DDL)
+        return _read_cached(spark, self.postings_path, POSTINGS_DDL)
 
     def positions(self, spark: SparkSession) -> DataFrame:
         """Positional view (phrase queries) — same unified table; kept as a
         named reader so call sites say what they mean."""
-        return _read_or_empty(spark, self.positions_path, POSITIONS_DDL)
+        return _read_cached(spark, self.positions_path, POSITIONS_DDL)
 
     def segments(self, spark: SparkSession) -> DataFrame:
         # chunk=N/tbucket=M dirs are discovered as partition columns ->
         # directory-level pruning on term lookups
-        return _read_or_empty(spark, self.segments_path, SEGMENTS_DDL)
+        return _read_cached(spark, self.segments_path, SEGMENTS_DDL)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
-        return _read_or_empty(spark, self.term_stats_path, TERM_STATS_DDL)
+        return _read_cached(spark, self.term_stats_path, TERM_STATS_DDL)
 
     def corpus_stats(self) -> dict:
         return json.loads(self.corpus_stats_path.read_text())

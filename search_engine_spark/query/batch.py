@@ -17,12 +17,15 @@ the whole workload:
                                   AQE switches to shuffle when not)
       -> per-(query_id, doc_id) score fold in SORTED term order
       -> tombstone anti-join     (once, for the whole workload)
-      -> per-query top-k window
+      -> per-query top-k window  (planned as a two-level group limit:
+         WindowGroupLimit(Partial) prunes to k rows per query per
+         upstream partition BEFORE the query_id exchange, SPARK-37099)
 
 Scale shape: the expensive side (postings) is scanned ONCE; the shuffle
-keys are (query_id, doc_id) then query_id — workload-sized, not
-corpus-sized, and a hot query (huge candidate set) is exactly the skew
-AQE's skew-join/partition-split handles. Term/tbucket literal pushdown
+keys are (query_id, doc_id), then query_id over k-bounded survivors —
+workload-sized, not corpus-sized; a hot query's candidate set is sorted
+across the (query_id, doc_id)-partitioned map side, never in one task
+(the join-side skew is additionally covered by AQE's skew-join split). Term/tbucket literal pushdown
 (directory-level partition pruning, same as the single-query path) is
 kept while the workload's distinct-term set is driver-bounded
 (``pushdown_cap``); past the cap the scan goes full — at that point the
@@ -162,6 +165,14 @@ def batch_bm25_topk(
 
     scored = live_filter(spark, store, scored)
 
+    # Per-query top-k: row_number over query_id + rank filter. Spark 3.5+
+    # plans this as a TWO-LEVEL group limit (SPARK-37099): a
+    # WindowGroupLimit(Partial) node BEFORE the query_id exchange keeps at
+    # most k rows per query per upstream partition (the upstream layout is
+    # hash(query_id, doc_id) from the score agg — evenly spread), so the
+    # query_id window partition receives <= k * n_upstream_partitions rows
+    # and a head-term query's full candidate set is never sorted in one
+    # task. tests/test_batch.py pins the Partial node in the plan.
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

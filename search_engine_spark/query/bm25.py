@@ -67,12 +67,16 @@ def candidates_for_terms(
     store: IndexStore,
     terms: list[str],
     with_importance: bool = False,
+    with_cf: bool = False,
 ) -> DataFrame | None:
     """Partition-pruned posting scan for the query terms, joined (broadcast)
     with the per-term stats — the Spark analog of the reference's per-term
     index point-lookups (``QueryProcessor.java:533``) + J1 union-merge.
     ``with_importance`` additionally reads the stored role-weight column
-    (kept opt-in so the un-boosted path's scan stays column-pruned)."""
+    (kept opt-in so the un-boosted path's scan stays column-pruned).
+    ``with_cf`` additionally reads the build-time collection frequency when
+    the store has it (LM scoring; absent on pre-cf indexes — the caller
+    must check for the column)."""
     if not terms:
         return None
     # bucket count from the store's stats, not the module default — an index
@@ -91,11 +95,15 @@ def candidates_for_terms(
         .filter(F.col("term").isin(uniq))
         .select(*cols)
     )
+    stats = store.term_stats(spark)
+    stat_cols = ["term", "df", "idf", "bm25_idf"]
+    if with_cf and "cf" in stats.columns:
+        stat_cols.append("cf")
     stats = (
-        store.term_stats(spark)
+        stats
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("term").isin(uniq))
-        .select("term", "df", "idf", "bm25_idf")
+        .select(*stat_cols)
     )
     qtf_df = spark.createDataFrame(
         [(t, float(c)) for t, c in qtf.items()], "term string, qtf double"

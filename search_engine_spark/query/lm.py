@@ -12,11 +12,15 @@ first-class production-engine capability the BM25/tf-idf pair alone does
 not demonstrate.
 
 Scale shape (100 TB story): identical to the BM25 DataFrame path — ONE
-tbucket-pruned, term-IN-pushed posting scan. cf(t) is an extra aggregate
-over the SAME pruned relation (all postings of a query term are exactly
-its occurrences), broadcast back — no second corpus scan, no new wide
-shuffle; the per-doc fold reuses the sorted-term conditional-sum kernel
-so scores are deterministic bit-for-bit.
+tbucket-pruned, term-IN-pushed posting scan. cf(t) is a static per-term
+scalar computed at BUILD time (``index.build.build_term_stats`` folds a
+``sum(tf)`` into the job that already computes df) and read from the
+broadcast term_stats join like ``bm25_idf`` — zero query-time shuffles
+beyond BM25's own; the per-doc fold reuses the sorted-term
+conditional-sum kernel so scores are deterministic bit-for-bit. Stores
+built before the cf column fall back to a window over the pruned scan
+(one partition per query term — correct, but skew-prone at head terms;
+rebuild or compact to upgrade).
 """
 
 from __future__ import annotations
@@ -39,20 +43,28 @@ def lm_dirichlet_topk(
     """Top-k (doc_id, score) under Dirichlet-smoothed query likelihood."""
     from .bm25 import _per_term_sum, candidates_for_terms
 
-    cand = candidates_for_terms(spark, store, terms)
+    cand = candidates_for_terms(spark, store, terms, with_cf=True)
     if cand is None:
         return spark.createDataFrame([], "doc_id long, score double")
     cstats = store.corpus_stats()
     total_tokens = float(cstats["n_docs"]) * float(cstats["avgdl"])
 
-    # cf(t): window-sum over the term partition — the pruned posting scan
-    # is read ONCE (a separate agg + join would re-execute it); integer
-    # tf sums are exact in doubles, so partition order cannot perturb cf.
-    from pyspark.sql import Window
+    if "cf" in cand.columns:
+        # build-time collection frequency, broadcast with the stats join:
+        # integer-exact (sum of tf), bit-identical to the window sum below
+        scored = cand.withColumn("cf", F.col("cf").cast("double"))
+    else:
+        # pre-cf store: window-sum over the term partition — the pruned
+        # posting scan is read once, but every posting of a query term
+        # lands in ONE window partition (skewed at head terms; kept only
+        # as the legacy-store fallback). Integer tf sums are exact in
+        # doubles, so partition order cannot perturb cf.
+        from pyspark.sql import Window
 
-    scored = cand.withColumn(
-        "cf", F.sum(F.col("tf").cast("double")).over(Window.partitionBy("term"))
-    )
+        scored = cand.withColumn(
+            "cf",
+            F.sum(F.col("tf").cast("double")).over(Window.partitionBy("term")),
+        )
 
     tf = F.col("tf").cast("double")
     dl = F.col("doc_len").cast("double")

@@ -79,3 +79,19 @@ def test_pushdown_plan_prunes_scan(spark, index_store, workload):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "tbucket" in plan
     assert "PushedFilters" in plan
+
+
+def test_per_query_topk_is_two_level_group_limit(spark, index_store, workload):
+    """The per-query rank window must be planned as a two-level group
+    limit (SPARK-37099): a WindowGroupLimit(Partial) BEFORE the query_id
+    exchange keeps at most k rows per query per upstream partition, so a
+    head-term query's full candidate set is never sorted in one task. A
+    plan regression here (e.g. a refactor that breaks the rank-filter
+    pattern the optimizer matches) reintroduces the hot-partition sort."""
+    df = batch_bm25_topk(spark, index_store, workload, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan  # the pre-exchange pruning level
+    assert ", Final" in plan

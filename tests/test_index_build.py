@@ -37,6 +37,16 @@ def test_df_and_corpus_stats_match_oracle(spark, index_store, oracle_index):
     assert abs(c["avgdl"] - oracle_index.avgdl) < 1e-9
 
 
+def test_term_stats_cf_is_collection_frequency(spark, index_store, oracle_index):
+    """cf rides the df aggregate at build time: per term, the sum of tf
+    over every posting (the LM serve path reads it instead of window-
+    summing the pruned scan at query time)."""
+    stats = index_store.term_stats(spark).select("term", "cf").toPandas()
+    got = dict(zip(stats["term"], stats["cf"]))
+    exp = {t: sum(pl.values()) for t, pl in oracle_index.postings.items()}
+    assert got == exp
+
+
 def test_postings_tf_matches_oracle(spark, index_store, oracle_index):
     p = (
         index_store.postings(spark)

@@ -109,3 +109,17 @@ def test_near_chain_scan_prunes_by_term(spark, index_store, oracle_index):
     assert "tbucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_lm_topk_has_no_window_exchange(spark, index_store):
+    """cf(t) comes from the build-time term_stats column (broadcast with
+    the stats join) — the LM plan must not contain the per-term Window
+    (a maximally skewed shuffle: every posting of a head term in ONE
+    partition) the pre-cf serve path used."""
+    from search_engine_spark.analysis import analyze_query
+    from search_engine_spark.query.lm import lm_dirichlet_topk
+
+    df = lm_dirichlet_topk(spark, index_store, analyze_query("spark index"), k=10)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
