@@ -1802,7 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["snippet_spans"] = q(_snippet_spans)
     out["highlight_topk"] = q(_highlight_topk)
 
-    return out
+    return _rotated(out)
 
 
 def _logical_spark(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
@@ -2026,6 +2026,46 @@ turns AS (
   FROM tix
 )
 """
+
+
+
+# ---------------------------------------------------------------------------
+# Contract-row rotation (round 6): the driver's per-round CORRECTNESS
+# artifact records the FIRST 50 entries; round 5 spent its 50 on everything
+# round 4 missed, leaving 29 entries with an r4-vintage driver row
+# (VERDICT r5 next #3). This round ALSO rewrote the index-build kernels
+# (mapInArrow) and the LM/batch serve paths, and VERDICT's standing rule is
+# that changed-kernel entries stay inside the recorded 50. Both wants fit:
+# the first 50 = the 29 stale rows (refreshing their hard signal) + the 21
+# most load-bearing engine rows whose kernels changed this round (every
+# index mutation family, both transcript-store engines, LM, batch, the
+# nested-boolean and fuzzy-index serves). The 29 entries left in the tail
+# are all r5-driver-green and artifact-independent (adhoc/analytics rows).
+# Pure reordering: every entry keeps its name, callable, and oracle SQL.
+_ROTATE_FIRST_R6 = [
+    # -- the 29 rows whose last driver signal is r4 ----------------------
+    "minhash_lsh_pairs", "dup_components", "jaccard_pairs", "simhash_pairs",
+    "embedding_dup_pairs", "cosine_topk", "ivf_topk", "lsh_ann_topk",
+    "ivf_kmeans_topk", "pagerank", "events_sessions", "stratified_sample",
+    "events_hourly", "pricing_summary", "top_revenue_orders", "token_counts",
+    "quality_scores", "lang_id", "en_bigram_score", "fingerprints",
+    "repetition_scores", "pii_redact", "url_normalize", "robots_allowed",
+    "media_meta", "media_features", "frame_sample", "snippet_spans",
+    "highlight_topk",
+    # -- 21 engine rows whose kernels changed this round -----------------
+    "index_bm25_df", "index_bm25_wand", "index_bm25_boosted",
+    "index_bm25_boosted_wand", "index_phrase_match", "index_logical_and",
+    "index_logical_or", "index_logical_not", "index_bm25_appended",
+    "index_phrase_appended", "index_bm25_merged", "index_phrase_merged",
+    "index_bm25_compacted", "lm_topk", "batch_search", "boolean_search",
+    "near_multi", "spell_suggest_indexed", "transcripts_bm25_df",
+    "transcripts_bm25_wand", "prefix_search",
+]
+
+
+def _rotated(d: dict) -> dict:
+    head = [k for k in _ROTATE_FIRST_R6 if k in d]
+    return {k: d[k] for k in head + [k for k in d if k not in set(head)]}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2702,4 +2742,4 @@ SELECT tool,
 FROM g WHERE tool IS NOT NULL GROUP BY tool
 """
 
-    return sql
+    return _rotated(sql)

@@ -41,7 +41,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.analyzer import analyze
 from .codec import BM25_K1, BM25_B, WEIGHT_SCALE
 
 # Role weights: transcripts analog of title x3 / header x2 / body x1
@@ -133,12 +132,15 @@ def assign_doc_ids(
 # ---------------------------------------------------------------------------
 
 def with_terms(docs: DataFrame, stem: bool = True, positions: bool = True) -> DataFrame:
-    """Add ``terms: array<string>`` via the Arrow-batched analyzer UDF."""
+    """Add ``terms: array<string>`` via the Arrow-batched analyzer UDF
+    (per-batch raw-token memo — see ``analysis.analyzer.analyze_batch``)."""
     from pyspark.sql.functions import pandas_udf
+
+    from ..analysis.analyzer import analyze_batch
 
     @pandas_udf("array<string>")
     def analyze_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([analyze(t, stem=stem) for t in texts])
+        return pd.Series(analyze_batch(list(texts), stem=stem))
 
     return docs.withColumn("terms", analyze_udf(F.col("text")))
 

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import analyze
-from ..index.build import term_bucket_py
 from ..index.storage import IndexStore
 
 
@@ -61,16 +60,15 @@ def mlt_terms(
     if not cand:
         return []
 
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in cand})
-    stats = (
-        store.term_stats(spark)
-        .filter(F.col("tbucket").isin(buckets))
-        .filter(F.col("term").isin(cand))
-        .select("term", "bm25_idf")
-        .collect()
-    )
+    # per-term idf via the WAND driver-side stats cache (same epoch
+    # invalidation): repeat MLT queries skip the pruned stats collect, and
+    # the retrieval step below finds its term weights already cached —
+    # one driver round-trip instead of two on the warm path
+    from .wand import _cached_term_idf
+
+    idf_of = _cached_term_idf(spark, store, cand, n_buckets)
     ranked = sorted(
-        ((tf[r["term"]] * float(r["bm25_idf"]), r["term"]) for r in stats),
+        ((tf[t] * idf_of[t], t) for t in cand if idf_of.get(t) is not None),
         key=lambda x: (-x[0], x[1]),
     )
     return [t for _, t in ranked[:max_terms]]

@@ -70,3 +70,20 @@ def test_query_and_index_chain_identical():
     # duplicates preserved in order (ranker counts them twice,
     # ParallelRanker.java:86-104)
     assert analyze_query(s).count("mayb") == 2
+
+
+def test_analyze_batch_identical_to_per_doc():
+    """The per-batch raw-token memo must be a pure speedup: output
+    identical to analyze() per doc, both modes, including edge inputs."""
+    from search_engine_spark.analysis.analyzer import analyze, analyze_batch
+
+    texts = [
+        "The Spark INDEX of running runners ran quickly",
+        "", "   ", "a b c the of and", "x" * 5, "Connection connected CONNECTS",
+        "data123data, punct!uation; mixed-Case tokens", None,
+        "agreement agreements agree agreed agreeing",
+    ]
+    for stem in (True, False):
+        assert analyze_batch(texts, stem=stem) == [
+            analyze(t, stem=stem) for t in texts
+        ]
