@@ -159,11 +159,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["build", "queries"])
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--corpus", default="/tmp/bench_transcripts_sf0.1")
+    # per-mode default mirrors the frozen bench: build times the scaling
+    # corpus, queries time the dedicated ~650k-turn query corpus
+    ap.add_argument("--corpus", default=None)
     ap.add_argument("--ix", default="/dev/shm/bx_extra")
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--extended", action="store_true")
     args = ap.parse_args()
+    if args.corpus is None:
+        args.corpus = (
+            "/tmp/bench_transcripts_sf0.1"
+            if args.mode == "build"
+            else "/tmp/bench_transcripts_q_sf0.1"
+        )
     if args.mode == "build":
         mode_build(args)
     else:

@@ -223,11 +223,18 @@ def build_postings(docs_analyzed: DataFrame) -> DataFrame:
             doc_rep = np.repeat(doc_ids, counts)
             dl_rep = np.repeat(counts, counts)
             rdenc = pc.dictionary_encode(role_col)
+            # null roles default to weight 1.0 exactly like the pandas
+            # path's ROLE_WEIGHTS.get(r, 1.0): a null dictionary index is
+            # filled with -1, which indexes the appended default slot
             w_uniq = np.array(
-                [ROLE_WEIGHTS.get(r, 1.0) for r in rdenc.dictionary.to_pylist()],
+                [ROLE_WEIGHTS.get(r, 1.0) for r in rdenc.dictionary.to_pylist()]
+                + [1.0],
                 dtype=np.float64,
             )
-            w = w_uniq[rdenc.indices.to_numpy(zero_copy_only=False)]
+            ridx = rdenc.indices
+            if ridx.null_count:
+                ridx = pc.fill_null(ridx, -1)
+            w = w_uniq[ridx.to_numpy(zero_copy_only=False).astype(np.int64)]
             w_rep = np.repeat(w, counts)
             doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
@@ -242,6 +249,14 @@ def build_postings(docs_analyzed: DataFrame) -> DataFrame:
             tf = (ends - starts).astype(np.int32)
             enc, sizes = varbyte_encode_with_sizes(pos_flat[order])
             byte_offs = np.concatenate(([0], np.cumsum(sizes)))
+            if int(byte_offs[-1]) >= (1 << 31):
+                # int32 Arrow binary offsets would silently wrap — fail
+                # loudly (only reachable with a raised
+                # arrow.maxRecordsPerBatch or pathological documents)
+                raise ValueError(
+                    "one Arrow batch encodes >= 2 GiB of positions; "
+                    "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             # per-(doc, term) position spans tile the encoded buffer in
             # sorted order (ends[i] == starts[i+1]), so the output binary
             # column is just an offsets array over it — no per-row bytes

@@ -107,3 +107,19 @@ def test_content_hash_is_sha256(spark, index_store, transcripts_pdf):
 
     row = index_store.docs(spark).select("text", "content_hash").first()
     assert row["content_hash"] == hashlib.sha256(row["text"].encode()).hexdigest()
+
+
+def test_null_role_defaults_to_weight_one(spark):
+    """A null role must map to weight 1.0 (importance == tf), exactly like
+    the pandas-era ROLE_WEIGHTS.get(r, 1.0) — the Arrow kernel fills null
+    dictionary indices instead of crashing on float indices."""
+    from search_engine_spark.index.build import build_postings
+
+    df = spark.createDataFrame(
+        [("c0", 0, None, "sparkly sparkly engine"),
+         ("c0", 1, "user", "sparkly engine")],
+        "conv_id string, turn_idx int, role string, text string",
+    ).withColumn("doc_id", (F.col("turn_idx")).cast("long"))
+    rows = {(r["doc_id"], r["term"]): r for r in build_postings(df).collect()}
+    assert rows[(0, "sparkli")]["importance"] == 2.0  # null role -> w=1.0, tf=2
+    assert rows[(1, "sparkli")]["importance"] == 3.0  # user -> w=3.0, tf=1
